@@ -1,0 +1,206 @@
+"""Surrogate GLiNER2 model heads (A1–A7) + span-score builder (D1).
+
+The sandbox has no torch/onnxruntime and the reference ships no weights
+(they are generated locally — /root/reference/Sources/GLiNERSwift/Resources/README.md),
+so the engine defines a scorer *backend interface* with a deterministic numpy
+implementation (SURVEY.md §7.4). The DATAFLOW mirrors the reference exactly:
+
+  encode ids → hidden states                (A1, GLiNEREncoder.swift:46-85)
+  word emb = first-subword hidden state     (A7, GLiNER2SchemaProjector.swift:57-63)
+  prompt emb = mean over label subwords     (A7, GLiNER2SchemaProjector.swift:97-115)
+  span emb from (start, end, width)         (A2, GLiNER2SpanRepresentationModel.swift:18-59)
+  count argmax gates empty output           (A4, GLiNER2SpanPipeline.swift:173-198)
+  score[span][label] = dot(spanEmb, labelEmb)  (D1, GLiNER2SpanScoreBuilder.swift:5-58)
+
+The surrogate "weights" are seeded hash-derived Gaussians, plus a handful of
+hand-set feature weights that make the model behave like a (weak) NER: spans
+that are runs of capitalized words score above the 0.3 default threshold,
+other spans below it. The oracle (raykg.oracle) uses this identical backend,
+so the driver's P/R gate measures the ENGINE's plumbing (chunking, offsets,
+merge, shuffle), which is what it can check without real weights.
+
+An ONNX production backend would slot in behind the same interface
+(``ScorerBackend``), import-guarded; it is intentionally not implemented in
+this sandbox.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import PipelineConfig
+from .tokenizer import SchemaEncoding, WordTokenizer, encode_schema, _h64
+
+# feature slots occupy the LAST `N_FEAT` dims of the hidden space
+N_FEAT = 6
+_F_BIAS, _F_CAPALL, _F_CAPFRAC, _F_WIDTH_CAP, _F_WIDTH_MIX, _F_DIGIT = range(N_FEAT)
+
+# label-side weights over the feature slots (the surrogate's "learned" head)
+_LABEL_FEAT_W = np.array([-4.0, 5.5, 1.0, 2.5, -3.0, -1.5], dtype=np.float64)
+_NOISE_SCALE = 0.7    # std of the label-discriminating hash-noise term in the logit
+
+
+def _seeded_vec(key: bytes, seed: int, dim: int) -> np.ndarray:
+    rng = np.random.default_rng(_h64(key, b"vec%d" % seed))
+    return rng.standard_normal(dim)
+
+
+class SurrogateBackend:
+    """Deterministic numpy stand-in for the encoder + span/classifier heads.
+
+    Stateful (embedding caches) → lives inside one actor, built once in
+    ``__init__`` of the MentionScorer actor (never per batch)."""
+
+    def __init__(self, config: PipelineConfig) -> None:
+        self.config = config
+        self.h = config.hidden
+        self.core = self.h - N_FEAT
+        self.seed = config.seed
+        self.tokenizer = WordTokenizer(config.seed)
+        self._tok_emb: dict[int, np.ndarray] = {}
+        self._label_emb: dict[str, np.ndarray] = {}
+        self._scale = 1.0 / np.sqrt(self.core)
+
+    # -- A1: encoder ------------------------------------------------------
+    def _embed_ids(self, ids: np.ndarray) -> np.ndarray:
+        out = np.empty((len(ids), self.core), dtype=np.float64)
+        cache = self._tok_emb
+        for i, t in enumerate(ids):
+            t = int(t)
+            v = cache.get(t)
+            if v is None:
+                v = _seeded_vec(t.to_bytes(4, "big"), self.seed, self.core)
+                cache[t] = v
+            out[i] = v
+        return out
+
+    def encode(self, ids: np.ndarray) -> np.ndarray:
+        """Token ids → contextualized hidden states (seq, core).
+
+        Context mix = 0.6·self + 0.2·left + 0.2·right, a deterministic
+        stand-in for the DeBERTa backbone (A1)."""
+        e = self._embed_ids(ids)
+        h = 0.6 * e
+        h[1:] += 0.2 * e[:-1]
+        h[:-1] += 0.2 * e[1:]
+        return h
+
+    # -- A7: projector ----------------------------------------------------
+    def project(self, enc: SchemaEncoding, hidden: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """word embeddings (first subword) + prompt embeddings (mean range)."""
+        word_embs = hidden[enc.word_first_subword] if len(enc.words) else \
+            np.empty((0, self.core))
+        prompt = np.empty((len(enc.prompt_ranges), self.core), dtype=np.float64)
+        for i, (a, b) in enumerate(enc.prompt_ranges):
+            prompt[i] = hidden[a:b].mean(axis=0) if b > a else 0.0
+        return word_embs, prompt
+
+    # -- label embeddings (A9 cache analogue) -----------------------------
+    def label_embedding(self, label: str) -> np.ndarray:
+        v = self._label_emb.get(label)
+        if v is None:
+            core = _seeded_vec(label.encode("utf-8"), self.seed, self.core)
+            core /= np.linalg.norm(core)
+            # span core is unit-norm; dot of two unit vectors has std
+            # ≈ 1/sqrt(core_dim) — rescale so the label-noise term has std
+            # ≈ _NOISE_SCALE in the final logit
+            v = np.concatenate([core * (_NOISE_SCALE * np.sqrt(self.core)), _LABEL_FEAT_W])
+            self._label_emb[label] = v
+        return v
+
+    # -- word surface features -------------------------------------------
+    @staticmethod
+    def _word_feats(words: list[str]) -> np.ndarray:
+        """(n_words, 2): [is_capitalized_alpha, has_digit] per ORIGINAL word.
+
+        Capitalization is read from the original surface — the reference
+        lowercases words only for subword tokenization and slices surfaces
+        from the original text (GLiNERTokenizer.swift:306,
+        SpanDecoder.swift:54-60)."""
+        n = len(words)
+        f = np.zeros((n, 2), dtype=np.float64)
+        for i, w in enumerate(words):
+            c0 = w[0] if w else ""
+            f[i, 0] = 1.0 if (c0.isupper() and w.isalnum()) else 0.0
+            f[i, 1] = 1.0 if any(ch.isdigit() for ch in w) else 0.0
+        return f
+
+    # -- A2: span representation -----------------------------------------
+    def span_embeddings(self, enc: SchemaEncoding, word_embs: np.ndarray) -> np.ndarray:
+        """(n_spans, h): core = mean(start_emb, end_emb)·scale·unit-ish,
+        features = [bias, cap_all, cap_frac, width·cap_all, width·(1-cap_all),
+        digit_frac]."""
+        ss, ww = enc.span_starts, enc.span_widths
+        ee = ss + ww
+        n = len(ss)
+        out = np.empty((n, self.h), dtype=np.float64)
+        core = 0.5 * (word_embs[ss] + word_embs[ee])
+        norms = np.linalg.norm(core, axis=1, keepdims=True)
+        np.maximum(norms, 1e-9, out=norms)
+        out[:, : self.core] = core / norms
+
+        wf = self._word_feats(enc.words)
+        cap_cum = np.concatenate([[0.0], np.cumsum(wf[:, 0])])
+        dig_cum = np.concatenate([[0.0], np.cumsum(wf[:, 1])])
+        lens = (ww + 1).astype(np.float64)
+        cap_frac = (cap_cum[ee + 1] - cap_cum[ss]) / lens
+        dig_frac = (dig_cum[ee + 1] - dig_cum[ss]) / lens
+        cap_all = (cap_frac >= 1.0 - 1e-12).astype(np.float64)
+        wnorm = ww / max(1, self.config.max_span_width - 1)
+        out[:, self.core + _F_BIAS] = 1.0
+        out[:, self.core + _F_CAPALL] = cap_all
+        out[:, self.core + _F_CAPFRAC] = cap_frac
+        out[:, self.core + _F_WIDTH_CAP] = wnorm * cap_all
+        out[:, self.core + _F_WIDTH_MIX] = wnorm * (1.0 - cap_all)
+        out[:, self.core + _F_DIGIT] = dig_frac
+        return out
+
+    # -- A4: count predictor ---------------------------------------------
+    def predict_count(self, prompt_embs: np.ndarray, n_words: int) -> int:
+        """argmax over count logits, clamped to max_count
+        (GLiNER2SpanPipeline.swift:173-198). The surrogate's count head emits
+        0 for empty text (→ decode returns [] exactly as predictedCount==0
+        does at GLiNERModel.swift:424) and max_count otherwise."""
+        if n_words == 0 or len(prompt_embs) == 0:
+            return 0
+        return self.config.max_count
+
+    # -- D1: span-score builder ------------------------------------------
+    def span_scores(self, enc: SchemaEncoding) -> tuple[np.ndarray, SchemaEncoding]:
+        """Full per-document forward pass → logits (n_spans, n_labels)."""
+        hidden = self.encode(enc.input_ids)
+        word_embs, prompt_embs = self.project(enc, hidden)
+        if self.predict_count(prompt_embs, len(enc.words)) == 0:
+            return np.empty((0, len(enc.entity_labels))), enc
+        span_embs = self.span_embeddings(enc, word_embs)
+        labels = np.stack([self.label_embedding(l) for l in enc.entity_labels])
+        logits = span_embs @ labels.T            # D1: plain dot product
+        return logits, enc
+
+    # -- A3 + M13: classification ----------------------------------------
+    def classify(self, text: str, labels: list[str], multi_label: bool,
+                 threshold: float) -> list[tuple[str, float]]:
+        """Text-level classification. Labels ride the schema prompt with the
+        [C] marker (GLiNERModel.swift:207-245); logits over prompt embeddings
+        vs the mean word embedding; sigmoid each (multi-label) or stable
+        softmax; keep ≥ threshold; sort score desc (GLiNERModel.swift:247-302)."""
+        enc = encode_schema(text, labels, self.tokenizer,
+                            self.config.max_span_width, kinds=["C"] * len(labels))
+        hidden = self.encode(enc.input_ids)
+        word_embs, prompt_embs = self.project(enc, hidden)
+        if len(enc.words) == 0:
+            return []
+        text_repr = word_embs.mean(axis=0)
+        text_repr /= max(1e-9, np.linalg.norm(text_repr))
+        sims = prompt_embs @ text_repr / np.sqrt(self.core)
+        # deterministic per-(text,label) tiebreak noise so ordering is total
+        logits = sims * 4.0
+        if multi_label:
+            scores = 1.0 / (1.0 + np.exp(-logits))
+        else:
+            z = logits - logits.max()
+            ez = np.exp(z)
+            scores = ez / ez.sum()
+        pairs = [(l, float(s)) for l, s in zip(labels, scores) if s >= threshold]
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        return pairs

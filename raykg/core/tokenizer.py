@@ -1,0 +1,206 @@
+"""Subword tokenization + GLiNER2-style schema encoding (operators M2–M7).
+
+Semantics anchored to the reference:
+
+- **Normalization (M2)**: trim → NFKC → collapse ``[\\s\\u3000\\ufeff]+`` to a
+  single space → ensure a leading space → replace ``' '`` with ``'▁'``
+  (/root/reference/Sources/GLiNERSwift/Tokenization/SentencePieceUnigram.swift:68-73,176-196).
+- **Unigram Viterbi (M3)**: a lattice of all dictionary substrings with
+  per-character fallback and a max-sum-of-scores path
+  (SentencePieceUnigram.swift:140-162,219-280). The reference loads an HF
+  vocab file; the repo ships no weights (they are generated locally,
+  Sources/GLiNERSwift/Resources/README.md), so this engine uses a
+  **deterministic synthetic vocab**: membership and score of a piece are pure
+  hash functions of the piece bytes (seeded). The lattice algorithm itself is
+  the real unigram Viterbi.
+- **Schema encode (M6)**: token stream
+  ``[CLS] [P] entities ( [E] label₁ [E] label₂ … ) [SEP_TEXT] words… [SEP]``
+  with lowercased text words, per-label prompt subword ranges, first-subword
+  index per text word, and char start/end maps
+  (/root/reference/Sources/GLiNERSwift/Tokenization/GLiNERTokenizer.swift:269-421;
+  schema tokens at :286-293; text words lowercased at :306).
+- **Span plan (M7)**: spans ``(start, start+width)`` for width ``0..W-1``
+  where the end word exists (GLiNERTokenizer.swift:470-491).
+
+Everything here is pure and deterministic; per-word tokenization results are
+memoized by the caller (actor-level cache, mirroring the reference's tokenizer
+cache, GLiNERTokenizer.swift:5-6,442-463).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass
+from hashlib import blake2b
+
+import numpy as np
+
+from .wordsplit import split_words
+
+# -- special token ids (synthetic vocab reserves 0..31) ----------------------
+PAD_ID, CLS_ID, SEP_ID, UNK_ID = 0, 1, 2, 3
+P_ID, E_ID, C_ID, R_ID, L_ID, SEP_TEXT_ID = 4, 5, 6, 7, 8, 9
+_SPECIAL_BASE = 32
+VOCAB_SIZE = 65536
+
+_RE_WS = re.compile(r"[\s　﻿]+")
+_MAX_PIECE_LEN = 6
+
+
+def normalize(text: str) -> str:
+    """M2: trim → NFKC → collapse whitespace → leading space → '▁'."""
+    t = text.strip()
+    t = unicodedata.normalize("NFKC", t)
+    t = _RE_WS.sub(" ", t)
+    if t and not t.startswith(" "):
+        t = " " + t
+    return t.replace(" ", "▁")
+
+
+def _h64(data: bytes, salt: bytes = b"") -> int:
+    return int.from_bytes(blake2b(data, digest_size=8, salt=salt.ljust(8, b"\0")[:8]).digest(),
+                          "big")
+
+
+def _piece_score(piece: str, seed: int) -> float | None:
+    """Synthetic unigram vocab: membership + log-prob score, pure hash fns.
+
+    Single characters are always in-vocab (the per-char fallback the real
+    unigram model guarantees); longer pieces are in-vocab with ~45%
+    probability. Scores favor longer pieces so Viterbi prefers merges, like a
+    trained unigram model does.
+    """
+    b = piece.encode("utf-8")
+    if len(piece) == 1:
+        return -8.0 + (_h64(b, b"sc%d" % seed) % 1000) / 1000.0  # [-8, -7)
+    if _h64(b, b"mem%d" % seed) % 100 >= 45:
+        return None
+    jitter = (_h64(b, b"sc%d" % seed) % 1000) / 1000.0 * 2.0
+    return -(7.0 - 1.1 * len(piece)) - jitter
+
+
+def piece_id(piece: str, seed: int) -> int:
+    return _SPECIAL_BASE + _h64(piece.encode("utf-8"), b"id%d" % seed) % (VOCAB_SIZE - _SPECIAL_BASE)
+
+
+def viterbi_tokenize(word: str, seed: int) -> list[int]:
+    """M3: max-sum-of-scores segmentation of ``normalize(word)``.
+
+    Returns subword ids. Empty input → [UNK]."""
+    s = normalize(word)
+    n = len(s)
+    if n == 0:
+        return [UNK_ID]
+    best = np.full(n + 1, -np.inf)
+    best[0] = 0.0
+    back = np.zeros(n + 1, dtype=np.int64)
+    for end in range(1, n + 1):
+        lo = max(0, end - _MAX_PIECE_LEN)
+        for start in range(lo, end):
+            if best[start] == -np.inf:
+                continue
+            sc = _piece_score(s[start:end], seed)
+            if sc is None:
+                continue
+            cand = best[start] + sc
+            if cand > best[end]:
+                best[end] = cand
+                back[end] = start
+    # backtrack
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        j = int(back[i])
+        pieces.append(s[j:i])
+        i = j
+    pieces.reverse()
+    return [piece_id(p, seed) for p in pieces]
+
+
+class WordTokenizer:
+    """Per-word memoizing tokenizer (actor-level cache, A10 analogue)."""
+
+    def __init__(self, seed: int) -> None:
+        self.seed = seed
+        self._cache: dict[str, list[int]] = {}
+
+    def ids(self, word: str) -> list[int]:
+        got = self._cache.get(word)
+        if got is None:
+            got = viterbi_tokenize(word, self.seed)
+            self._cache[word] = got
+        return got
+
+
+@dataclass
+class SchemaEncoding:
+    """Mirror of GLiNER2SchemaEncoding (GLiNER2SchemaEncoding.swift:4-47),
+    trimmed to the fields the surrogate pipeline consumes."""
+
+    input_ids: np.ndarray            # (seq,) int32
+    # per-label prompt subword ranges [start, end) into input_ids
+    prompt_ranges: list[tuple[int, int]]
+    prompt_kinds: list[str]          # 'E' entity / 'C' classification
+    entity_labels: list[str]
+    # first-subword index per text word (A7: word embedding = first subword,
+    # GLiNER2SchemaProjector.swift:57-63)
+    word_first_subword: np.ndarray   # (n_words,) int64
+    words: list[str]                 # ORIGINAL surfaces (pre-lowercase)
+    word_starts: np.ndarray          # (n_words,) char start per word
+    word_ends: np.ndarray            # (n_words,) char end (exclusive)
+    # span plan (M7)
+    span_starts: np.ndarray          # (n_spans,) word index
+    span_widths: np.ndarray          # (n_spans,) width 0..W-1  (end = start+width)
+
+
+def _literal_ids(tok: WordTokenizer, text: str) -> list[int]:
+    return [i for w, _, _ in split_words(text) for i in tok.ids(w)]
+
+
+def encode_schema(text: str, labels: list[str], tok: WordTokenizer,
+                  max_span_width: int, kinds: list[str] | None = None) -> SchemaEncoding:
+    """M6 + M7. ``kinds`` defaults to 'E' for every label; classification
+    passes 'C' (labels arrive pre-prefixed ``"[C] <label>"`` in the reference,
+    GLiNERModel.swift:218 — here the kind marker token is emitted directly)."""
+    kinds = kinds or ["E"] * len(labels)
+    ids: list[int] = [CLS_ID, P_ID]
+    ids.extend(_literal_ids(tok, "entities"))
+    ids.extend(tok.ids("("))
+    prompt_ranges: list[tuple[int, int]] = []
+    for label, kind in zip(labels, kinds):
+        ids.append({"E": E_ID, "C": C_ID, "R": R_ID, "L": L_ID}[kind])
+        start = len(ids)
+        ids.extend(_literal_ids(tok, label.lower()))
+        prompt_ranges.append((start, len(ids)))
+    ids.extend(tok.ids(")"))
+    ids.append(SEP_TEXT_ID)
+
+    word_tuples = split_words(text)
+    words = [w for w, _, _ in word_tuples]
+    starts = np.fromiter((s for _, s, _ in word_tuples), dtype=np.int64, count=len(word_tuples))
+    ends = np.fromiter((e for _, _, e in word_tuples), dtype=np.int64, count=len(word_tuples))
+    first_sub = np.empty(len(words), dtype=np.int64)
+    for i, w in enumerate(words):
+        first_sub[i] = len(ids)
+        ids.extend(tok.ids(w.lower()))   # text words lowercased (GLiNERTokenizer.swift:306)
+    ids.append(SEP_ID)
+
+    n_words = len(words)
+    w_arr = np.arange(n_words, dtype=np.int64)
+    widths = np.arange(max_span_width, dtype=np.int64)
+    ss = np.repeat(w_arr, max_span_width)
+    ww = np.tile(widths, n_words)
+    valid = ss + ww < n_words
+    return SchemaEncoding(
+        input_ids=np.asarray(ids, dtype=np.int32),
+        prompt_ranges=prompt_ranges,
+        prompt_kinds=list(kinds),
+        entity_labels=list(labels),
+        word_first_subword=first_sub,
+        words=words,
+        word_starts=starts,
+        word_ends=ends,
+        span_starts=ss[valid],
+        span_widths=ww[valid],
+    )

@@ -1,0 +1,243 @@
+"""Unit tests for the pure per-document semantics (raykg.core).
+
+Mirrors the reference's component-test strategy (SURVEY.md §5): word-splitter
+behavior, chunker invariants, NMS decode rules, chunk-merge dedup rules, and
+the behavioral edge cases of
+/root/reference/Tests/GLiNERSwiftTests/EntityExtractionTests.swift:72-114
+(empty text → [], no labels → [], threshold 0.99 → few mentions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raykg.config import DEFAULT_CONFIG, KG_LABELS, Schema, Validator
+from raykg.core.chunk import chunk_text, should_chunk
+from raykg.core.decode import Mention, adjust_offsets, merge_chunks
+from raykg.core.relations import extract_triples, sentence_spans
+from raykg.core.textextract import extract_text
+from raykg.core.tokenizer import WordTokenizer, encode_schema, viterbi_tokenize
+from raykg.core.wordsplit import split_words, word_count
+from raykg.oracle import Oracle
+
+
+@pytest.fixture(scope="module")
+def oracle() -> Oracle:
+    return Oracle()
+
+
+# -- M1 word splitter ------------------------------------------------------
+def test_word_splitter_pattern():
+    # regex \w+(?:[-_]\w+)*|\S  (WordSplitter.swift:14)
+    words = split_words("state-of-the-art AI, 2024!")
+    assert [w for w, _, _ in words] == ["state-of-the-art", "AI", ",", "2024", "!"]
+    text = "a  b\n c"
+    for w, s, e in split_words(text):
+        assert text[s:e] == w
+    assert word_count("") == 0
+
+
+# -- M8 chunker ------------------------------------------------------------
+def test_chunker_trigger_and_coverage():
+    text = " ".join(f"word{i}" for i in range(500)) + "\nlast line here"
+    assert should_chunk(text, 248)
+    chunks = chunk_text(text, 3072, 768, 248)
+    assert len(chunks) >= 2
+    for ch in chunks:
+        assert text[ch.start_offset:ch.end_offset] == ch.text
+        assert ch.word_count <= 248
+        assert not ch.text[0].isspace() and not ch.text[-1].isspace()
+    # full coverage: every char of every word is inside some chunk
+    covered = np.zeros(len(text), dtype=bool)
+    for ch in chunks:
+        covered[ch.start_offset:ch.end_offset] = True
+    for w, s, e in split_words(text):
+        assert covered[s:e].all(), f"word {w!r} at {s} not covered"
+
+
+def test_chunker_short_text_noop():
+    assert not should_chunk("short text", 248)
+    chunks = chunk_text("short text", 3072, 768, 248)
+    assert len(chunks) == 1 and chunks[0].text == "short text"
+
+
+def test_chunker_prefers_newline_cut():
+    text = ("x " * 100).strip() + "\n" + ("y " * 2000).strip()
+    chunks = chunk_text(text, 3000, 100, 1000)
+    assert chunks[0].text.endswith("x")   # cut at the newline, trimmed
+
+
+# -- HTML extraction -------------------------------------------------------
+def test_extract_text_strips_and_unescapes():
+    html = (b"<html><head><style>p{}</style><script>x='<p>no</p>'</script></head>"
+            b"<body><h1>Caf\xc3\xa9 &amp; Bar</h1><!-- c --><p>A &quot;B&quot;\r\n"
+            b"C</p></body></html>")
+    text = extract_text(html)
+    assert "no" not in text and "p{}" not in text
+    assert 'Café & Bar' in text and 'A "B"' in text
+    assert "\r" not in text
+    assert extract_text(b"") == ""
+
+
+def test_extract_text_deterministic_bytes():
+    html = "<p>Ünïcödé — 北京 &#x1F600;</p>".encode("utf-8")
+    assert extract_text(html) == extract_text(html)
+    assert "北京" in extract_text(html)
+
+
+# -- tokenizer -------------------------------------------------------------
+def test_viterbi_deterministic_and_cached():
+    ids1 = viterbi_tokenize("hello", 42)
+    ids2 = viterbi_tokenize("hello", 42)
+    assert ids1 == ids2 and len(ids1) >= 1
+    assert viterbi_tokenize("hello", 43) != ids1 or True  # different seed may differ
+    tok = WordTokenizer(42)
+    assert tok.ids("hello") == ids1
+    assert tok.ids("") == [3]  # UNK
+
+
+def test_schema_encoding_shapes():
+    tok = WordTokenizer(42)
+    enc = encode_schema("John Smith works at Apple Inc.", ["person", "organization"],
+                        tok, max_span_width=8)
+    assert len(enc.prompt_ranges) == 2
+    assert len(enc.words) == 7      # John Smith works at Apple Inc .
+    assert enc.words[-1] == "."
+    # span plan: (start, start+width), end < n_words (GLiNERTokenizer.swift:470-491)
+    assert (enc.span_starts + enc.span_widths < len(enc.words)).all()
+    n_expected = sum(min(8, 7 - s) for s in range(7))
+    assert len(enc.span_starts) == n_expected
+    # word char ranges slice the original surfaces
+    text = "John Smith works at Apple Inc."
+    for i, w in enumerate(enc.words):
+        assert text[enc.word_starts[i]:enc.word_ends[i]] == w
+
+
+# -- decode / NMS ----------------------------------------------------------
+def test_decode_edge_cases(oracle):
+    assert oracle.extract_mentions("", KG_LABELS) == []
+    assert oracle.extract_mentions("John Smith works here.", []) == []
+    many = oracle.extract_mentions("John Smith met with Apple Inc in Berlin.", KG_LABELS)
+    few = oracle.extract_mentions("John Smith met with Apple Inc in Berlin.",
+                                  KG_LABELS, threshold=0.99)
+    assert len(few) <= len(many)
+    assert len(few) <= 2   # reference edge test: threshold 0.99 → ≤2
+
+
+def test_decode_no_overlaps(oracle):
+    text = "Amelia Reed works at Helios Dynamics in Seattle."
+    mentions = oracle.extract_mentions(text, KG_LABELS)
+    assert mentions
+    # label-blind NMS: kept spans are pairwise disjoint (SpanDecoder.swift:12-101)
+    for i, a in enumerate(mentions):
+        for b in mentions[i + 1:]:
+            assert a.end <= b.start or b.end <= a.start
+    # output sorted by start asc
+    starts = [m.start for m in mentions]
+    assert starts == sorted(starts)
+    # surface form sliced from original text
+    for m in mentions:
+        assert text[m.start:m.end] == m.text
+
+
+def test_decode_deterministic(oracle):
+    text = "Maria Chen visited Tokyo and met with Vertex Labs."
+    a = oracle.extract_mentions(text, KG_LABELS)
+    b = oracle.extract_mentions(text, KG_LABELS)
+    assert a == b
+    b2 = Oracle().extract_mentions(text, KG_LABELS)
+    assert a == b2   # no hidden state leaks across instances
+
+
+# -- D4 chunk merge --------------------------------------------------------
+def test_merge_chunks_rules():
+    m = [
+        Mention("Apple", "org", 0.9, 10, 15),
+        Mention("apple", "org", 0.8, 100, 105),   # same label + same lowercased text → dup
+        Mention("Apple", "person", 0.7, 200, 205),  # different label → kept
+        Mention("Pear", "org", 0.6, 12, 18),      # overlaps kept 'Apple' org → dup
+        Mention("Plum", "org", 0.5, 50, 54),      # clean → kept
+    ]
+    out = merge_chunks(m)
+    keys = {(x.text, x.label) for x in out}
+    assert keys == {("Apple", "org"), ("Apple", "person"), ("Plum", "org")}
+    assert [x.start for x in out] == sorted(x.start for x in out)
+
+
+def test_adjust_offsets():
+    out = adjust_offsets([Mention("x", "l", 0.5, 3, 4)], 100)
+    assert out[0].start == 103 and out[0].end == 104
+
+
+# -- chunked path equivalence ---------------------------------------------
+def test_chunked_path_matches_unchunked_semantics(oracle):
+    # a doc just above the trigger still yields mentions with doc-level
+    # offsets that slice the original text
+    sent = "Amelia Reed works at Helios Dynamics in Seattle. "
+    text = (sent * 40).strip()
+    assert should_chunk(text, oracle.config.max_words)
+    mentions = oracle.extract_mentions(text, KG_LABELS)
+    assert mentions
+    for m in mentions:
+        assert text[m.start:m.end] == m.text
+
+
+# -- relations -------------------------------------------------------------
+def test_sentence_spans_cover():
+    text = "A b c. D e! F g? H"
+    spans = sentence_spans(text)
+    assert spans[0][0] == 0 and spans[-1][1] == len(text)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 == s2
+
+
+def test_extract_triples_basic():
+    text = "Amelia Reed works at Helios Dynamics. Bob visited Berlin."
+    mentions = [
+        Mention("Amelia Reed", "person", 0.9, 0, 11),
+        Mention("Helios Dynamics", "organization", 0.8, 21, 36),
+        Mention("Bob", "person", 0.9, 38, 41),
+        Mention("Berlin", "location", 0.85, 50, 56),
+    ]
+    triples = extract_triples(text, mentions)
+    td = {(t.subj, t.pred, t.obj) for t in triples}
+    assert ("Amelia Reed", "works_at", "Helios Dynamics") in td
+    assert ("Bob", "visited", "Berlin") in td
+    # no cross-sentence pair
+    assert not any(t.subj == "Helios Dynamics" and t.obj == "Bob" for t in triples)
+
+
+# -- schema API (ports GLiNER2SchemaAPITests.swift) ------------------------
+def test_schema_builder():
+    s = (Schema().entities(["person", "person", "org"], threshold=0.5)
+                 .classification("topic", ["a", "b"], multi_label=True)
+                 .structure("contact").field("email", validators=[
+                     Validator(r"[^@]+@[^@]+\.\w+", full=True)]).done())
+    assert s.entity_labels == ["person", "org"]       # deduped
+    assert s.entity_threshold("person", 0.3) == 0.5
+    assert s.entity_threshold("org", 0.3) == 0.5
+    built = s.build()
+    assert built["classifications"][0]["multi_label"] is True
+    assert "contact" in built["json_structures"][0]
+
+
+def test_validators():
+    v_full = Validator(r"\d+", full=True)
+    assert v_full.accepts("123") and not v_full.accepts("a123")
+    v_part = Validator(r"\d+")
+    assert v_part.accepts("a123")
+    v_excl = Validator(r"spam", exclude=True)
+    assert v_excl.accepts("ham") and not v_excl.accepts("SPAM")  # case-insensitive
+
+
+def test_multitask_extract(oracle):
+    schema = (Schema().entities(["person", "organization"], dtype="list")
+                      .classification("topic", ["business", "travel"])
+                      .structure("doc").field("city", description="location").done())
+    res = oracle.extract(
+        "Amelia Reed works at Helios Dynamics in Seattle.", schema)
+    assert set(res["entities"].keys()) == {"person", "organization"}
+    assert isinstance(res["entities"]["person"], list)
+    assert "topic" in res["classifications"]
+    assert "doc" in res["structures"]
