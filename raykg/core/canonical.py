@@ -32,13 +32,23 @@ _RE_WS = re.compile(r"\s+")
 _EDGE_PUNCT = ".,;:!?\"'()[]{}<>«»“”‘’"
 
 
+_CORP_SUFFIXES = {"inc", "incorporated", "corp", "corporation", "ltd",
+                  "limited", "llc", "co", "gmbh", "plc", "sa", "ag"}
+
+
 def normalize_surface(s: str) -> str:
     t = unicodedata.normalize("NFKC", s).casefold()
     t = _RE_WS.sub(" ", t).strip()
     t = t.strip(_EDGE_PUNCT).strip()
     if t.endswith("'s"):
         t = t[:-2].rstrip()
-    return t
+    # corporate-designator stripping: "helios dynamics inc" and "helios
+    # dynamics" are the same entity — resolve at normalization so they share
+    # a node_id with zero alias-merge work (never strip the only token)
+    toks = t.split(" ")
+    while len(toks) > 1 and toks[-1].strip(_EDGE_PUNCT) in _CORP_SUFFIXES:
+        toks.pop()
+    return " ".join(toks)
 
 
 def node_id(canonical: str) -> int:

@@ -1,0 +1,193 @@
+"""The flagship KG-construction pipeline (SURVEY.md §7.2 physical plan).
+
+Two entry points:
+
+- ``kg_datasets(pages_ds, ...)`` — lazy in-memory composition returning every
+  intermediate Dataset (used by queries()/tests; no checkpoints, pure
+  streaming).
+- ``run_kg_pipeline(pages_files, out_dir, ...)`` — the production-shaped run:
+  input sharded by file groups, per-shard extraction checkpoints (atomic
+  parquet + manifest + lineage), global canonicalize/graph phase, per-stage
+  metrics. Resumable: finished shards are skipped by fingerprint.
+
+Stage → Ray primitive map (shuffles marked):
+  ingest            read_parquet (column-pruned)
+  dedup input       groupby(url) keep max warc_ts            [shuffle]
+  html→text         map_batches, stateless, drops html
+  mention+relations map_batches(MentionExtractor actor pool)
+  explode           map_batches, stateless
+  canonicalize      combiner → groupby(norm,salt) → groupby(norm)  [shuffle ×2, pre-aggregated]
+  alias merge       LSH bucket groupby + driver union-find   [small shuffle]
+  link              map_batches(LinkerActor pool, broadcast catalog)
+  edges             combiner → groupby(src,pred,dst) → sort  [shuffle + sort]
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..config import DEFAULT_CONFIG, KG_LABELS, PipelineConfig
+from ..stages.canonicalize import (alias_pairs, apply_alias_merge, canonicalize,
+                                   components_driver)
+from ..stages.extract import dedup_pages, extract_docs, filter_lang
+from ..stages.graph import materialize_edges, materialize_nodes
+from ..stages.link import build_catalog, link_mentions
+from ..stages.mention import MentionExtractor, explode_mentions, explode_triples
+from ..state.checkpoint import Manifest, atomic_write_parquet, shard_fingerprint
+from ..state.metrics import RunMetrics
+
+
+def extract_stage(pages_ds, labels: list[str] | None = None,
+                  config: PipelineConfig | None = None,
+                  dedup: bool = True, langs: tuple[str, ...] | None = None):
+    """pages → doc_extracts (nested mentions/triples per doc)."""
+    cfg = config or DEFAULT_CONFIG
+    ds = pages_ds
+    if dedup:
+        ds = dedup_pages(ds)
+    if langs:
+        ds = filter_lang(ds, langs)
+    docs = ds.map_batches(extract_docs, batch_format="pyarrow")
+    return docs.map_batches(
+        MentionExtractor,
+        fn_constructor_kwargs={"labels": labels or KG_LABELS, "config": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.scorer_batch_size,
+        concurrency=_pool_size(cfg.scorer_concurrency),
+    )
+
+
+def _pool_size(requested: int) -> int:
+    """Cap an actor pool so task stages (read/write/shuffle) keep CPU
+    headroom — a pool that reserves every CPU starves its own producers and
+    the streaming executor wedges (observed on Ray 2.49 local mode)."""
+    import ray
+
+    if ray.is_initialized():
+        total = int(ray.cluster_resources().get("CPU", 4))
+    else:
+        total = os.cpu_count() or 4
+    return max(1, min(requested, total - 2))
+
+
+def kg_datasets(pages_ds, labels: list[str] | None = None,
+                config: PipelineConfig | None = None,
+                dedup: bool = True, alias_merge: bool = True,
+                link: bool = True) -> dict:
+    """Lazy composition of the full DAG; returns named Datasets.
+
+    ``extracts`` is materialized once (it feeds four consumers — mentions,
+    triples, nodes, links — rematerializing the scorer stage per consumer
+    would multiply the dominant cost by 4; everything downstream streams)."""
+    import ray
+
+    extracts = extract_stage(pages_ds, labels, config, dedup).materialize()
+    mentions = extracts.map_batches(explode_mentions, batch_format="pyarrow")
+    triples = extracts.map_batches(explode_triples, batch_format="pyarrow")
+    nodes_raw = canonicalize(mentions)
+    alias_map: dict[int, int] = {}
+    if alias_merge:
+        nodes_mat = nodes_raw.materialize()
+        alias_map = components_driver(alias_pairs(nodes_mat))
+        nodes = apply_alias_merge(nodes_mat, alias_map)
+    else:
+        nodes = nodes_raw
+    nodes = materialize_nodes(nodes).materialize()
+    edges = materialize_edges(triples, alias_map)
+    out = {"extracts": extracts, "mentions": mentions, "triples": triples,
+           "nodes": nodes, "edges": edges, "alias_map": alias_map}
+    if link:
+        cfg = config or DEFAULT_CONFIG
+        catalog_ref = ray.put(build_catalog(nodes))
+        out["links"] = link_mentions(mentions, catalog_ref,
+                                     concurrency=_pool_size(cfg.linker_concurrency),
+                                     batch_size=cfg.linker_batch_size)
+    return out
+
+
+def _shard_files(files: list[str], shard_size: int) -> list[list[str]]:
+    files = sorted(files)
+    return [files[i:i + shard_size] for i in range(0, len(files), shard_size)]
+
+
+def run_kg_pipeline(pages_path: str, out_dir: str,
+                    labels: list[str] | None = None,
+                    config: PipelineConfig | None = None,
+                    resume: bool = True, shard_size: int = 4,
+                    link: bool = True, alias_merge: bool = True) -> dict:
+    """Production-shaped run over a directory (or file) of pages parquet.
+
+    Phase 1 (per shard, checkpointed): read → dedup-within-shard → extract →
+    scorer pool → doc_extracts parquet under ``out_dir/extracts/shard=K/``.
+    NOTE: input dedup across shards relies on the upstream layout keeping a
+    url's revisions in one file group (true for CC dumps segmented by crawl);
+    exact global dedup would hoist the groupby above sharding.
+
+    Phase 2 (global): canonicalize → alias merge → nodes/edges/links parquet.
+    """
+    import ray.data as rd
+
+    metrics = RunMetrics()
+    cfg = config or DEFAULT_CONFIG
+    if os.path.isdir(pages_path):
+        files = [os.path.join(pages_path, f) for f in os.listdir(pages_path)
+                 if f.endswith(".parquet")]
+    else:
+        files = [pages_path]
+    shards = _shard_files(files, shard_size)
+    manifest = Manifest.load(os.path.join(out_dir, "manifest.json"))
+
+    with metrics.stage("extract") as info:
+        total_rows = 0
+        skipped = 0
+        for k, shard in enumerate(shards):
+            name = f"shard={k:05d}"
+            fp = shard_fingerprint(shard)
+            shard_dir = os.path.join(out_dir, "extracts", name)
+            if resume and manifest.done(name, fp) and os.path.isdir(shard_dir):
+                skipped += 1
+                continue
+            pages = rd.read_parquet(shard)
+            extracts = extract_stage(pages, labels, cfg, dedup=True)
+            n = atomic_write_parquet(extracts, shard_dir)
+            manifest.record(name, fp, {"rows": n, "files": [os.path.basename(f)
+                                                            for f in shard]})
+            total_rows += n
+        info["rows"] = total_rows
+        info["shards"] = len(shards)
+        info["shards_skipped"] = skipped
+
+    extracts = rd.read_parquet(os.path.join(out_dir, "extracts"))
+    mentions = extracts.map_batches(explode_mentions, batch_format="pyarrow")
+    triples = extracts.map_batches(explode_triples, batch_format="pyarrow")
+
+    with metrics.stage("canonicalize") as info:
+        nodes_raw = canonicalize(mentions).materialize()
+        info["rows"] = nodes_raw.count()
+    alias_map: dict[int, int] = {}
+    if alias_merge:
+        with metrics.stage("alias_merge") as info:
+            alias_map = components_driver(alias_pairs(nodes_raw))
+            nodes = apply_alias_merge(nodes_raw, alias_map)
+            info["merged"] = len(alias_map)
+    else:
+        nodes = nodes_raw
+    with metrics.stage("nodes") as info:
+        info["rows"] = atomic_write_parquet(materialize_nodes(nodes),
+                                            os.path.join(out_dir, "nodes"))
+    with metrics.stage("edges") as info:
+        info["rows"] = atomic_write_parquet(materialize_edges(triples, alias_map),
+                                            os.path.join(out_dir, "edges"))
+    if link:
+        with metrics.stage("links") as info:
+            import ray
+
+            nodes_out = rd.read_parquet(os.path.join(out_dir, "nodes"))
+            catalog_ref = ray.put(build_catalog(nodes_out))
+            info["rows"] = atomic_write_parquet(
+                link_mentions(mentions, catalog_ref,
+                              concurrency=_pool_size(cfg.linker_concurrency),
+                              batch_size=cfg.linker_batch_size),
+                os.path.join(out_dir, "links"))
+    metrics.write(os.path.join(out_dir, "metrics.json"))
+    return metrics.summary()

@@ -78,7 +78,7 @@ _TEMPLATES = [
     ("{p} published the {b}.", "pb"),
     ("{o} partnered with {o2} on a joint venture.", "oq"),
     ("{p} visited {l} to meet customers.", "pl"),
-    ("{p} signed an agreement with {o}.", "po"),
+    ("{p} signed an agreement with {o} Inc.", "po"),   # near-dup surface of {o}
     ("{o} is headquartered in {l}.", "ol"),
     ("{p} founded {o} together with {p2}.", "pqo"),
 ]

@@ -1,0 +1,286 @@
+"""Stage 8: canonicalization — the explicit shuffle, done the scale-safe way.
+
+Physical plan (SURVEY.md §7.2-7.3):
+
+1. **Partial aggregation inside map_batches** (combiner): each batch of
+   mention rows collapses to ≤ one row per (normalized surface) carrying
+   partial count, per-label counts and an alias sample — so the shuffle moves
+   aggregates, not mentions.
+2. **Salted phase**: partials group by ``(norm, salt)`` first (S-way split of
+   hot keys — Zipf-skewed entities are the norm in web text), then by
+   ``norm`` for the final merge. Salting changes only grouping topology;
+   the merge is associative + commutative + deterministically finalized, so
+   results are independent of batch boundaries and parallelism.
+3. **node_id is a content hash** of the canonical surface
+   (raykg.core.canonical.node_id): downstream stages map surfaces to node ids
+   with a pure function — the triples→nodes "join" costs ZERO shuffle.
+
+Alias merging (connected components) lives in this module too: candidate
+near-duplicate surface pairs come from LSH sign-bucketing of the trigram
+embeddings; components are resolved by driver union-find when the distinct
+pair set is small (it is bounded by distinct-surface count, not corpus size)
+with a distributed min-label-propagation fallback for when it is not
+(SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core.canonical import SurfaceEmbedder, UnionFind, node_id, normalize_surface
+from ..schemas import NODES
+
+DEFAULT_SALTS = 16
+_MAX_ALIASES = 16
+
+
+def partial_canonical(batch: pa.Table, salts: int = DEFAULT_SALTS) -> pa.Table:
+    """Combiner: mention rows → partial (norm, salt, count, label_counts_json,
+    aliases_json) rows. Runs inside map_batches; no shuffle yet."""
+    surfaces = batch.column("text").to_pylist()
+    labels = batch.column("label").to_pylist()
+    acc: dict[str, tuple[int, dict, set]] = {}
+    for s, l in zip(surfaces, labels):
+        norm = normalize_surface(s)
+        if not norm:
+            continue
+        got = acc.get(norm)
+        if got is None:
+            acc[norm] = got = (0, {}, set())
+        cnt, lc, al = got
+        lc[l] = lc.get(l, 0) + 1
+        if len(al) < _MAX_ALIASES:
+            al.add(s)
+        acc[norm] = (cnt + 1, lc, al)
+    norms = sorted(acc)
+    first = surfaces[0] if surfaces else ""
+    return pa.table({
+        "norm": pa.array(norms, pa.string()),
+        # salt spreads a hot key's partials across S groups; deterministic in
+        # content only, and irrelevant to the final result (merge is assoc.)
+        "salt": pa.array(
+            [int.from_bytes(blake2b((n + "|" + first).encode(), digest_size=4)
+                            .digest(), "big") % salts for n in norms], pa.int32()),
+        "count": pa.array([acc[n][0] for n in norms], pa.int64()),
+        "label_counts": pa.array(
+            [json.dumps(acc[n][1], sort_keys=True) for n in norms], pa.string()),
+        "aliases": pa.array(
+            [json.dumps(sorted(acc[n][2])) for n in norms], pa.string()),
+    })
+
+
+def _merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+    """Associative merge of partial rows sharing a key (used at BOTH phases)."""
+    norm = g["norm"].iloc[0]
+    count = int(g["count"].sum())
+    lc: dict[str, int] = {}
+    al: set[str] = set()
+    for s in g["label_counts"]:
+        for k, v in json.loads(s).items():
+            lc[k] = lc.get(k, 0) + v
+    for s in g["aliases"]:
+        al.update(json.loads(s))
+    al = set(sorted(al)[:_MAX_ALIASES])
+    return pd.DataFrame({
+        "norm": [norm], "salt": [0], "count": [count],
+        "label_counts": [json.dumps(lc, sort_keys=True)],
+        "aliases": [json.dumps(sorted(al))],
+    })
+
+
+def _finalize(g: pd.DataFrame) -> pd.DataFrame:
+    m = _merge_partials(g)
+    lc = json.loads(m["label_counts"].iloc[0])
+    # deterministic majority label: max count, ties lexicographic
+    label = max(lc.items(), key=lambda kv: (kv[1], kv[0]))[0] if lc else ""
+    norm = m["norm"].iloc[0]
+    return pd.DataFrame({
+        "node_id": [node_id(norm)],
+        "canonical": [norm],
+        "label": [label],
+        "aliases": [json.loads(m["aliases"].iloc[0])],
+        "mention_count": [int(m["count"].iloc[0])],
+    })
+
+
+def canonicalize(mentions_ds, salts: int = DEFAULT_SALTS):
+    """mentions Dataset → nodes Dataset (pre-alias-merge).
+
+    Two groupbys, both over partial aggregates: (norm, salt) then (norm)."""
+    partials = mentions_ds.map_batches(
+        lambda b: partial_canonical(b, salts), batch_format="pyarrow")
+    merged = partials.groupby(["norm", "salt"]).map_groups(
+        _merge_partials, batch_format="pandas")
+    nodes = merged.groupby("norm").map_groups(_finalize, batch_format="pandas")
+    return nodes
+
+
+# ---------------------------------------------------------------------------
+# alias merging: connected components over near-duplicate surface pairs
+# ---------------------------------------------------------------------------
+
+_MAX_BUCKET = 2000   # frequent-token buckets carry no signal; cap = skew guard
+
+
+def _blocking_keys(batch: pa.Table) -> pa.Table:
+    """Token blocking (standard entity-resolution blocking): a canonical
+    surface lands in one bucket per word token. Near-dup surfaces ("helios
+    dynamics" / "helios dynamics inc") share ≥1 token with probability ~1 —
+    far better recall than sign-bit hyperplane LSH at these lengths (which
+    was measured at <10% pair recall and replaced). Bucket sizes are bounded
+    by token document-frequency; the pairwise stage drops buckets above
+    ``_MAX_BUCKET`` (a stopword-like token tells nothing about identity)."""
+    out_bucket: list[str] = []
+    out_id: list[int] = []
+    out_canon: list[str] = []
+    ids = batch.column("node_id").to_pylist()
+    canonicals = batch.column("canonical").to_pylist()
+    for nid, canon in zip(ids, canonicals):
+        for tok in set(canon.split()):
+            out_bucket.append(tok)
+            out_id.append(nid)
+            out_canon.append(canon)
+    return pa.table({
+        "bucket": pa.array(out_bucket, pa.string()),
+        "node_id": pa.array(out_id, pa.int64()),
+        "canonical": pa.array(out_canon, pa.string()),
+    })
+
+
+def alias_pairs(nodes_ds, cos_threshold: float = 0.80, seed: int = 42):
+    """nodes → candidate alias edges (a_id, b_id).
+
+    Pair rule: FIRST TOKEN EQUAL and trigram cosine ≥ threshold. The cosine
+    alone over-merges: same-suffix different-brand surfaces ("atlas
+    industries" / "helios industries") score ≈0.7 and shared generic
+    surfaces transitively bridge whole families — measured on the corpus
+    before the first-token constraint was added. Corporate-designator
+    variants never reach here at all (normalize_surface strips them).
+    groupby(bucket) moves one small row per (surface, token); pairs found in
+    several buckets are harmless — union-find is idempotent."""
+    buckets = nodes_ds.select_columns(["node_id", "canonical"]) \
+        .map_batches(_blocking_keys, batch_format="pyarrow")
+    embedder_seed = seed
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > _MAX_BUCKET:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        emb = SurfaceEmbedder(embedder_seed)
+        surfs = list(g["canonical"])
+        ids = list(g["node_id"])
+        m = emb.embed_many(surfs)
+        sims = m @ m.T
+        first = [s.split(" ", 1)[0] for s in surfs]
+        ii, jj = np.nonzero(np.triu(sims >= cos_threshold, k=1))
+        aa, bb = [], []
+        for i, j in zip(ii, jj):
+            if first[i] == first[j]:        # anti-bridge constraint
+                aa.append(int(ids[i]))
+                bb.append(int(ids[j]))
+        return pd.DataFrame({"a": pd.Series(aa, dtype="int64"),
+                             "b": pd.Series(bb, dtype="int64")})
+
+    return buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+
+
+def components_driver(pairs_ds) -> dict[int, int]:
+    """Union-find on the driver. Bounded by the candidate-pair count (pairs
+    exist only among near-duplicate distinct surfaces), NOT corpus size —
+    measured, not assumed: callers should check ``pairs_ds.count()`` first
+    and fall back to ``components_distributed`` beyond a budget."""
+    uf = UnionFind()
+    for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+            uf.union(a, b)
+    return {k: v for k, v in uf.components().items() if k != v}
+
+
+def components_distributed(pairs_ds, max_iter: int = 10):
+    """Iterative min-label propagation via groupby — the scale path when the
+    pair set exceeds driver memory. Each round: label(n) = min(label over
+    neighbors ∪ self); converges in O(component diameter) rounds.
+
+    Returns a Dataset of (node_id, root) with root < node_id only for merged
+    nodes."""
+    import ray.data as rd
+
+    def expand(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_pylist()
+        bb = b.column("b").to_pylist()
+        return pa.table({"node": pa.array(a + bb, pa.int64()),
+                         "nbr": pa.array(bb + a, pa.int64())})
+
+    edges = pairs_ds.map_batches(expand, batch_format="pyarrow")
+    labels = edges.groupby("node").map_groups(
+        lambda g: pd.DataFrame({"node": [g["node"].iloc[0]],
+                                "root": [int(min(g["nbr"].min(), g["node"].iloc[0]))]}),
+        batch_format="pandas")
+    edges_mat = edges.materialize()
+    for _ in range(max_iter):
+        lab_pd = labels.to_pandas()           # (node, root) — distinct nodes only
+        lab_map = dict(zip(lab_pd["node"], lab_pd["root"]))
+
+        def relabel(b: pa.Table, m=lab_map) -> pa.Table:
+            nodes = b.column("node").to_pylist()
+            nbrs = b.column("nbr").to_pylist()
+            return pa.table({
+                "node": pa.array(nodes, pa.int64()),
+                "nbr": pa.array([m.get(n, n) for n in nbrs], pa.int64()),
+            })
+
+        new_labels = edges_mat.map_batches(relabel, batch_format="pyarrow") \
+            .groupby("node").map_groups(
+                lambda g: pd.DataFrame({
+                    "node": [g["node"].iloc[0]],
+                    "root": [int(min(int(g["nbr"].min()),
+                                     lab_map.get(int(g["node"].iloc[0]),
+                                                 int(g["node"].iloc[0]))))]}),
+                batch_format="pandas").materialize()
+        new_pd = new_labels.to_pandas()
+        if new_pd.sort_values("node").reset_index(drop=True).equals(
+                lab_pd.sort_values("node").reset_index(drop=True)):
+            break
+        labels = new_labels
+    return labels
+
+
+def apply_alias_merge(nodes_ds, alias_map: dict[int, int]):
+    """Rewrite node rows through the alias map and re-merge rows that landed
+    on the same root (groupby over the now-tiny merged set)."""
+    if not alias_map:
+        return nodes_ds
+
+    def rewrite(b: pa.Table, m=alias_map) -> pa.Table:
+        ids = b.column("node_id").to_pylist()
+        return b.set_column(b.schema.get_field_index("node_id"), "node_id",
+                            pa.array([m.get(i, i) for i in ids], pa.int64()))
+
+    def remerge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 1:
+            return g
+        # deterministic winner: most mentions, ties by lexicographic surface
+        g2 = g.sort_values(["mention_count", "canonical"],
+                           ascending=[False, True], kind="stable")
+        canon = g2["canonical"].iloc[0]
+        aliases = sorted({a for al in g2["aliases"] for a in al} |
+                         set(g2["canonical"]) - {canon})[:_MAX_ALIASES]
+        lc: dict[str, int] = {}
+        for lab, cnt in zip(g2["label"], g2["mention_count"]):
+            lc[lab] = lc.get(lab, 0) + int(cnt)
+        label = max(lc.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        return pd.DataFrame({
+            "node_id": [g2["node_id"].iloc[0]],
+            "canonical": [canon],
+            "label": [label],
+            "aliases": [aliases],
+            "mention_count": [int(g2["mention_count"].sum())],
+        })
+
+    return nodes_ds.map_batches(rewrite, batch_format="pyarrow") \
+        .groupby("node_id").map_groups(remerge, batch_format="pandas")

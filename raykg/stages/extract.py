@@ -1,0 +1,71 @@
+"""Stateless stages: input dedup, HTML→text extraction, doc projection.
+
+Stage 2 of the physical plan (SURVEY.md §7.2): `map_batches` over zero-copy
+Arrow batches, no shuffle, html column dropped immediately after extraction
+so nothing downstream ever moves the binary payloads.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.textextract import extract_text
+from ..core.wordsplit import word_count
+
+
+def doc_id_of(url: str) -> int:
+    """63-bit stable doc id from the url (signed-int64-safe; identity by
+    content so retries/resume are idempotent)."""
+    return int.from_bytes(blake2b(url.encode("utf-8"), digest_size=8,
+                                  salt=b"doc").digest(), "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def extract_docs(batch: pa.Table) -> pa.Table:
+    """pages → docs: re-derive text from html via the FROZEN extractor
+    (byte-identity invariant), add doc_id + n_words, drop html.
+
+    The pipeline intentionally ignores the producer-supplied `text` column
+    and recomputes it — the invariant is that they agree per url, asserted
+    by tests, not assumed by the engine."""
+    html_col = batch.column("html")
+    texts = [extract_text(v) for v in html_col.to_pylist()]
+    urls = batch.column("url").to_pylist()
+    return pa.table({
+        "doc_id": pa.array([doc_id_of(u) for u in urls], pa.int64()),
+        "url": batch.column("url"),
+        "lang": batch.column("lang"),
+        "text": pa.array(texts, pa.string()),
+        "n_words": pa.array([word_count(t) for t in texts], pa.int32()),
+    })
+
+
+def dedup_pages(pages_ds):
+    """Exact input dedup by url, keeping the newest ``warc_ts``
+    (SURVEY.md §7.3: hash-partition + per-group max).
+
+    This is a full shuffle of the page rows (html included) — the
+    scale-correct formulation: rows sharing a url MUST be co-located to pick
+    a winner. Groups are tiny (duplicate cardinality per url ≈ 1-2), so
+    there is no skew concern. An alternative that avoids moving html —
+    aggregate (url → max ts) small-side then semi-join — trades the shuffle
+    for a broadcast that cannot hold 10^12 urls; rejected."""
+    import pandas as pd
+
+    def keep_newest(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic winner: max warc_ts, ties by url order stability
+        return g.sort_values("warc_ts", ascending=False, kind="stable").head(1)
+
+    return pages_ds.groupby("url").map_groups(keep_newest, batch_format="pandas")
+
+
+def filter_lang(ds, langs: tuple[str, ...] = ("en",)):
+    """Vectorized language filter inside map_batches (not per-row ds.filter)."""
+    lang_set = pa.array(list(langs), pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("lang"), value_set=lang_set))
+
+    return ds.map_batches(f, batch_format="pyarrow")

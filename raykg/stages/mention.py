@@ -1,0 +1,125 @@
+"""Stage 4: mention detection + relation extraction — THE actor-pool stage.
+
+A callable CLASS for ``map_batches(MentionExtractor, concurrency=N,
+batch_size=B)``: all model state (surrogate weights, tokenizer cache, label
+embeddings, compiled relation patterns) is built ONCE per actor in
+``__init__`` — the Ray analogue of the reference loading Core ML models once
+in ``GLiNERModel.init``
+(/root/reference/Sources/GLiNERSwift/GLiNERModel.swift:304-328) — and each
+``__call__`` processes one Arrow batch of documents.
+
+Per document the actor runs the reference lifecycle (SURVEY.md §3.2-3.3):
+chunk-if-long → schema encode → surrogate forward → greedy NMS decode →
+offset adjust → chunk merge → pattern relation extraction. Output rows are
+doc-level with NESTED mention/triple list columns: each document's results
+stay co-located, so downstream fan-out (mentions table, triples table) is a
+cheap stateless explode with no shuffle and no regrouping.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, KG_LABELS, PipelineConfig
+from ..core.chunk import chunk_text, should_chunk
+from ..core.decode import Mention, adjust_offsets, decode_spans_with_text, merge_chunks
+from ..core.relations import RelationConfig, extract_triples
+from ..core.scorer import SurrogateBackend
+from ..core.tokenizer import encode_schema
+from ..schemas import DOC_EXTRACTS
+
+
+class MentionExtractor:
+    """Actor-pool UDF: docs batch → doc-extract batch (nested results)."""
+
+    def __init__(self, labels: list[str] | None = None,
+                 config: PipelineConfig | None = None,
+                 threshold: float | None = None,
+                 relations: RelationConfig | None = None) -> None:
+        self.config = (config or DEFAULT_CONFIG).with_threshold(threshold)
+        self.labels = labels or KG_LABELS
+        self.backend = SurrogateBackend(self.config)     # weights once per actor
+        self.relations = relations or RelationConfig()
+        self._compiled = self.relations.compile()        # regexes once per actor
+
+    # per-document path (shared with the oracle via raykg.core)
+    def _mentions(self, text: str) -> list[Mention]:
+        cfg = self.config
+        if not text or not self.labels:
+            return []
+        if should_chunk(text, cfg.max_words):
+            chunks = chunk_text(text, cfg.max_chars, cfg.overlap_chars, cfg.max_words)
+            out: list[Mention] = []
+            for ch in chunks:
+                enc = encode_schema(ch.text, self.labels, self.backend.tokenizer,
+                                    cfg.max_span_width)
+                logits, enc = self.backend.span_scores(enc)
+                ms = decode_spans_with_text(logits, enc, cfg.threshold, ch.text)
+                out.extend(adjust_offsets(ms, ch.start_offset))
+            return merge_chunks(out)
+        enc = encode_schema(text, self.labels, self.backend.tokenizer,
+                            cfg.max_span_width)
+        logits, enc = self.backend.span_scores(enc)
+        return decode_spans_with_text(logits, enc, cfg.threshold, text)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        mention_rows: list[list[dict]] = []
+        triple_rows: list[list[dict]] = []
+        for text in texts:
+            mentions = self._mentions(text)
+            triples = extract_triples(text, mentions, self.relations, self._compiled)
+            mention_rows.append([
+                {"text": m.text, "label": m.label, "score": m.score,
+                 "start": m.start, "end": m.end} for m in mentions])
+            triple_rows.append([
+                {"subj": t.subj, "pred": t.pred, "obj": t.obj,
+                 "subj_label": t.subj_label, "obj_label": t.obj_label,
+                 "score": t.score, "sent_start": t.sent_start} for t in triples])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": batch.column("url"),
+            "lang": batch.column("lang"),
+            "n_words": batch.column("n_words"),
+            "mentions": pa.array(mention_rows, DOC_EXTRACTS.field("mentions").type),
+            "triples": pa.array(triple_rows, DOC_EXTRACTS.field("triples").type),
+        })
+
+
+def explode_mentions(batch: pa.Table) -> pa.Table:
+    """doc-extract rows → flat mention rows (stateless, no shuffle)."""
+    out = {"doc_id": [], "url": [], "text": [], "label": [], "score": [],
+           "start": [], "end": []}
+    doc_ids = batch.column("doc_id").to_pylist()
+    urls = batch.column("url").to_pylist()
+    for did, url, ms in zip(doc_ids, urls, batch.column("mentions").to_pylist()):
+        for m in ms:
+            out["doc_id"].append(did)
+            out["url"].append(url)
+            out["text"].append(m["text"])
+            out["label"].append(m["label"])
+            out["score"].append(m["score"])
+            out["start"].append(m["start"])
+            out["end"].append(m["end"])
+    from ..schemas import MENTIONS
+    return pa.table(out, schema=MENTIONS)
+
+
+def explode_triples(batch: pa.Table) -> pa.Table:
+    """doc-extract rows → flat triple rows (stateless, no shuffle)."""
+    out = {"doc_id": [], "url": [], "subj": [], "pred": [], "obj": [],
+           "subj_label": [], "obj_label": [], "score": []}
+    doc_ids = batch.column("doc_id").to_pylist()
+    urls = batch.column("url").to_pylist()
+    for did, url, ts in zip(doc_ids, urls, batch.column("triples").to_pylist()):
+        for t in ts:
+            out["doc_id"].append(did)
+            out["url"].append(url)
+            out["subj"].append(t["subj"])
+            out["pred"].append(t["pred"])
+            out["obj"].append(t["obj"])
+            out["subj_label"].append(t["subj_label"])
+            out["obj_label"].append(t["obj_label"])
+            out["score"].append(t["score"])
+    from ..schemas import TRIPLES
+    return pa.table(out, schema=TRIPLES)

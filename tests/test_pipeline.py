@@ -1,0 +1,237 @@
+"""Distributed-pipeline tests: parity vs the single-process oracle (the P/R
+gate, SURVEY.md §5), determinism across parallelism, dedup, alias components,
+and checkpoint/resume."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raykg.config import KG_LABELS
+from raykg.oracle import Oracle
+from raykg.sources.pages import pages_dataset
+
+SF = "/root/testdata/sf0.001"
+
+
+def _prf(expected: set, got: set) -> tuple[float, float]:
+    if not expected and not got:
+        return 1.0, 1.0
+    tp = len(expected & got)
+    p = tp / len(got) if got else 0.0
+    r = tp / len(expected) if expected else 0.0
+    return p, r
+
+
+@pytest.fixture(scope="module")
+def extracts(ray_session):
+    from raykg.pipelines.kg import extract_stage
+
+    return extract_stage(pages_dataset(SF)).materialize()
+
+
+@pytest.fixture(scope="module")
+def oracle_results():
+    """Oracle over the deduped page set (newest warc_ts per url)."""
+    import pyarrow.parquet as pq
+
+    from raykg.sources.pages import make_page_row
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"]).to_pylist()
+    newest: dict[str, dict] = {}
+    for d in docs:
+        row = make_page_row(d["doc_id"], d["text"], d["lang"])
+        cur = newest.get(row["url"])
+        if cur is None or row["warc_ts"] > cur["warc_ts"]:
+            newest[row["url"]] = row
+    oracle = Oracle()
+    out = {}
+    for url, row in newest.items():
+        out[url] = oracle.extract_page(url, row["html"], KG_LABELS)
+    return out
+
+
+def test_text_byte_identity(ray_session, oracle_results):
+    """Per-row invariant: pipeline-extracted text is byte-identical per url
+    to the oracle extractor AND to the producer-supplied text column."""
+    from raykg.stages.extract import dedup_pages, extract_docs
+
+    docs = dedup_pages(pages_dataset(SF)) \
+        .map_batches(extract_docs, batch_format="pyarrow").to_pandas()
+    assert len(docs) == len(oracle_results)
+    for url, text in zip(docs["url"], docs["text"]):
+        assert text.encode() == oracle_results[url].text.encode(), url
+
+
+def test_mention_parity_exact(extracts, oracle_results):
+    """Engine mentions == oracle mentions (same backend → the gate measures
+    distributed plumbing; P/R must be 1.0, above the 0.95 bar). Span identity
+    is exact; scores are compared with tolerance because the table stores
+    float32 (the reference's golden tolerance is 0.01 — TestFixtures.swift;
+    we hold 1e-4)."""
+    got: dict[tuple, float] = {}
+    for b in extracts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for url, ms in zip(b.column("url").to_pylist(),
+                           b.column("mentions").to_pylist()):
+            for m in ms:
+                got[(url, m["text"], m["label"], m["start"], m["end"])] = m["score"]
+    expected: dict[tuple, float] = {}
+    for url, res in oracle_results.items():
+        for m in res.mentions:
+            expected[(url, m.text, m.label, m.start, m.end)] = m.score
+    p, r = _prf(set(expected), set(got))
+    assert p == 1.0 and r == 1.0, (p, r, len(expected), len(got))
+    max_d = max(abs(got[k] - expected[k]) for k in expected)
+    assert max_d <= 1e-4, max_d
+
+
+def test_triple_parity_exact(extracts, oracle_results):
+    got = set()
+    for b in extracts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for url, ts in zip(b.column("url").to_pylist(),
+                           b.column("triples").to_pylist()):
+            for t in ts:
+                got.add((url, t["subj"], t["pred"], t["obj"]))
+    expected = {(url, t.subj, t.pred, t.obj)
+                for url, res in oracle_results.items() for t in res.triples}
+    p, r = _prf(expected, got)
+    assert p == 1.0 and r == 1.0, (p, r, len(expected), len(got))
+    assert len(expected) > 100     # the gate is non-trivial
+
+
+def test_parallelism_invariance(ray_session, extracts):
+    """Same results at a different batch size / pool size — batch boundaries
+    must not leak into output (the in-sandbox analogue of the two-cluster-size
+    determinism requirement)."""
+    from raykg.config import PipelineConfig
+    from raykg.pipelines.kg import extract_stage
+
+    cfg = PipelineConfig(scorer_batch_size=32, scorer_concurrency=2)
+    other = extract_stage(pages_dataset(SF), config=cfg)
+
+    def key_set(ds):
+        out = set()
+        for b in ds.iter_batches(batch_size=512, batch_format="pyarrow"):
+            for url, ms, ts in zip(b.column("url").to_pylist(),
+                                   b.column("mentions").to_pylist(),
+                                   b.column("triples").to_pylist()):
+                out.add((url, tuple(sorted((m["text"], m["label"], m["start"])
+                                           for m in ms)),
+                         tuple(sorted((t["subj"], t["pred"], t["obj"])
+                                      for t in ts))))
+        return out
+
+    assert key_set(other) == key_set(extracts)
+
+
+def test_dedup_keeps_newest(ray_session):
+    from raykg.stages.extract import dedup_pages
+
+    deduped = dedup_pages(pages_dataset(SF)).to_pandas()
+    assert deduped["url"].is_unique
+    # duplicate generator rule: doc_id % 101 == 0 duplicates doc_id-1's url
+    # with warc_ts + 1 day — the winner must be the later one
+    import pyarrow.parquet as pq
+
+    from raykg.sources.pages import make_page_row
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    dup_rows = [make_page_row(d["doc_id"], d["text"], d["lang"])
+                for d in docs if d["doc_id"] % 101 == 0 and d["doc_id"] > 0]
+    assert dup_rows
+    by_url = dict(zip(deduped["url"], deduped["warc_ts"]))
+    for row in dup_rows:
+        assert pd.Timestamp(by_url[row["url"]]) == pd.Timestamp(row["warc_ts"])
+
+
+def test_nodes_and_edges(ray_session, extracts):
+    from raykg.stages.canonicalize import canonicalize
+    from raykg.stages.graph import materialize_edges
+    from raykg.stages.mention import explode_mentions, explode_triples
+
+    mentions = extracts.map_batches(explode_mentions, batch_format="pyarrow")
+    triples = extracts.map_batches(explode_triples, batch_format="pyarrow")
+    nodes = canonicalize(mentions).to_pandas()
+    assert nodes["node_id"].is_unique and nodes["canonical"].is_unique
+    assert (nodes["mention_count"] > 0).all()
+    # mention_count conservation: sum of node counts == non-empty mentions
+    import raykg.core.canonical as cc
+
+    m = mentions.to_pandas()
+    n_norm = sum(1 for t in m["text"] if cc.normalize_surface(t))
+    assert nodes["mention_count"].sum() == n_norm
+    edges = materialize_edges(triples).to_pandas()
+    # sorted by (src, pred, dst), weights conserve triple count
+    assert edges["weight"].sum() == len(triples.to_pandas())
+    key = list(zip(edges["src"], edges["pred"], edges["dst"]))
+    assert key == sorted(key)
+    # every edge endpoint resolves to a canonical node id
+    node_ids = set(nodes["node_id"])
+    assert set(edges["src"]) <= node_ids and set(edges["dst"]) <= node_ids
+
+
+def test_alias_components(ray_session):
+    """CC machinery on crafted near-dup surfaces (the corpus itself resolves
+    corporate variants at normalize time, so exercise CC directly)."""
+    import ray.data as rd
+
+    from raykg.core.canonical import node_id
+    from raykg.stages.canonicalize import (alias_pairs, apply_alias_merge,
+                                           components_driver)
+
+    surfaces = ["acme analytics", "acme analytic", "acme analytica",
+                "zeta metrics", "unrelated thing"]
+    nodes = rd.from_pandas(pd.DataFrame({
+        "node_id": [node_id(s) for s in surfaces],
+        "canonical": surfaces,
+        "label": ["organization"] * 5,
+        "aliases": [[s] for s in surfaces],
+        "mention_count": [5, 1, 1, 3, 2],
+    }))
+    amap = components_driver(alias_pairs(nodes))
+    acme = {node_id(s) for s in surfaces[:3]}
+    # all three acme variants collapse to one root; zeta/unrelated untouched
+    roots = {amap.get(n, n) for n in acme}
+    assert len(roots) == 1
+    assert node_id("zeta metrics") not in amap
+    merged = apply_alias_merge(nodes, amap).to_pandas()
+    assert len(merged) == 3
+    top = merged[merged["mention_count"] == 7]
+    assert len(top) == 1 and top["canonical"].iloc[0] == "acme analytics"
+
+
+def test_components_distributed_matches_driver(ray_session):
+    import ray.data as rd
+
+    from raykg.stages.canonicalize import components_distributed
+
+    pairs = pd.DataFrame({"a": [1, 2, 5, 8], "b": [2, 3, 6, 1]})
+    ds = rd.from_pandas(pairs)
+    lab = components_distributed(ds).to_pandas()
+    got = dict(zip(lab["node"], lab["root"]))
+    # {1,2,3,8} → root 1; {5,6} → root 5
+    assert got[2] == 1 and got[3] == 1 and got[8] == 1 and got[6] == 5
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raykg.pipelines.kg import run_kg_pipeline
+
+    pages_dir = str(tmp_path / "pages")
+    pages_dataset(SF).write_parquet(pages_dir)
+    out = str(tmp_path / "kg")
+    s1 = run_kg_pipeline(pages_dir, out, link=False, shard_size=1)
+    assert s1["stages"]["extract"]["shards_skipped"] == 0
+    n_nodes = s1["stages"]["nodes"]["rows"]
+    assert n_nodes > 0 and os.path.exists(os.path.join(out, "metrics.json"))
+    # second run: every shard skipped, same outputs
+    s2 = run_kg_pipeline(pages_dir, out, link=False, shard_size=1)
+    assert s2["stages"]["extract"]["shards_skipped"] == s2["stages"]["extract"]["shards"]
+    assert s2["stages"]["nodes"]["rows"] == n_nodes
+    nodes = rd.read_parquet(os.path.join(out, "nodes")).to_pandas()
+    assert nodes["node_id"].is_unique
