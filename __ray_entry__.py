@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the raykg engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` BEFORE importing this module; nothing here
+(or in raykg) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship KG pipeline (pages → mentions → triples → graph) on
+  /root/testdata/sf0.001; returns the edges Dataset.
+- ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
+  the training-data operator suite); each callable takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query;
+  KG/sketch/ANN queries are intentionally omitted (non-SQL-expressible;
+  their correctness gates are the pytest parity suites instead).
 """
 
 from __future__ import annotations
@@ -18,27 +17,114 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from raykg.functions import dedup, multimodal, relational, similarity, textstats, windows
+from raykg.pipelines.kg import extract_stage, kg_datasets
+from raykg.sources.pages import pages_dataset
+from raykg.stages.mention import explode_mentions, explode_triples
+
+# extraction is the expensive shared prefix of the kg_* queries; memoize per
+# sf_dir within one driver process (deterministic → safe)
+_extract_cache: dict[str, Any] = {}
+_kg_cache: dict[str, dict] = {}
+
+
+def _extracts(sf_dir: str):
+    ds = _extract_cache.get(sf_dir)
+    if ds is None:
+        ds = extract_stage(pages_dataset(sf_dir)).materialize()
+        _extract_cache[sf_dir] = ds
+    return ds
+
+
+def _kg(sf_dir: str) -> dict:
+    d = _kg_cache.get(sf_dir)
+    if d is None:
+        d = kg_datasets(pages_dataset(sf_dir))
+        _kg_cache[sf_dir] = d
+    return d
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG construction at sf0.001 → edges Dataset."""
+    return _kg("/root/testdata/sf0.001")["edges"]
+
+
+# -- KG pipeline queries (non-SQL; pytest parity gates cover correctness) ---
+
+def _kg_mentions(sf_dir: str):
+    return _extracts(sf_dir).map_batches(explode_mentions, batch_format="pyarrow")
+
+
+def _kg_triples(sf_dir: str):
+    return _extracts(sf_dir).map_batches(explode_triples, batch_format="pyarrow")
+
+
+def _kg_nodes(sf_dir: str):
+    return _kg(sf_dir)["nodes"]
+
+
+def _kg_edges(sf_dir: str):
+    return _kg(sf_dir)["edges"]
+
+
+def _kg_links(sf_dir: str):
+    return _kg(sf_dir)["links"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # knowledge-graph construction (flagship)
+        "kg_mentions": _kg_mentions,
+        "kg_triples": _kg_triples,
+        "kg_nodes": _kg_nodes,
+        "kg_edges": _kg_edges,
+        "kg_links": _kg_links,
+        # relational operator layer (TPC-H-ish)
+        "lineitem_agg": relational.q_lineitem_agg,
+        "mktsegment_orders": relational.q_mktsegment_orders,
+        "orders_monthly": relational.q_orders_monthly,
+        "top_parts": relational.q_top_parts,
+        # stream-shaped windows
+        "events_hourly": windows.q_events_hourly,
+        "sessions": windows.q_sessions,
+        # text analysis
+        "doc_stats": textstats.q_doc_stats,
+        "lang_dist": textstats.q_lang_dist,
+        "quality": textstats.q_quality,
+        "content_hash": textstats.q_content_hash,
+        "langid": textstats.q_langid,
+        # deduplication
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_minhash": dedup.q_dedup_minhash,
+        "dedup_simhash": dedup.q_dedup_simhash,
+        "ngram_jaccard": dedup.q_ngram_jaccard,
+        "dedup_embedding": dedup.q_dedup_embedding,
+        # similarity search
+        "knn": similarity.q_knn,
+        "knn_ivf": similarity.q_knn_ivf,
+        # multimodal plumbing
+        "media_meta": multimodal.q_media_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": relational.SQL_LINEITEM_AGG,
+        "mktsegment_orders": relational.SQL_MKTSEGMENT_ORDERS,
+        "orders_monthly": relational.SQL_ORDERS_MONTHLY,
+        "top_parts": relational.SQL_TOP_PARTS,
+        "events_hourly": windows.SQL_EVENTS_HOURLY,
+        "sessions": windows.SQL_SESSIONS,
+        "doc_stats": textstats.SQL_DOC_STATS,
+        "lang_dist": textstats.SQL_LANG_DIST,
+        "quality": textstats.SQL_QUALITY,
+        "content_hash": textstats.SQL_CONTENT_HASH,
+        "dedup_exact": dedup.SQL_DEDUP_EXACT,
+        "ngram_jaccard": dedup.SQL_NGRAM_JACCARD,
+        "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
+        "knn": similarity.SQL_KNN,
+        # omitted on purpose (non-SQL-expressible): kg_* (model-scored
+        # extraction), langid (heuristic model), dedup_minhash /
+        # dedup_simhash (sketches), knn_ivf (approximate), media_meta
+        # (binary parsing) — covered by pytest parity/recall gates.
+    }

@@ -1,0 +1,209 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language-ID, content fingerprinting.
+
+Regex classes are EXPLICIT ASCII (``[A-Za-z0-9_]``) on both the Python and
+the DuckDB side — Python's ``\\w`` is Unicode while RE2's is ASCII, and that
+divergence would silently break the value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+_STOP_RE = re.compile(r"\b(?:the|a|of|to|and|in|is)\b")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_PUNCT_RE = re.compile(r"[^A-Za-z0-9_\s]")
+
+TOKEN_PATTERN_SQL = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+STOP_PATTERN_SQL = r"\b(?:the|a|of|to|and|in|is)\b"
+
+
+def q_doc_stats(sf_dir: str):
+    """Per-document token statistics — one vectorized stateless pass."""
+    import ray.data as rd
+
+    def stats(b: pa.Table) -> pd.DataFrame:
+        texts = b.column("text").to_pylist()
+        return pd.DataFrame({
+            "doc_id": b.column("doc_id").to_pandas(),
+            "n_chars": [len(t) for t in texts],
+            "n_words": [len(t.split()) for t in texts],
+            "n_tokens": [len(_TOKEN_RE.findall(t)) for t in texts],
+            "n_alpha": [len(_ALPHA_RE.findall(t)) for t in texts],
+            "n_stop": [len(_STOP_RE.findall(t.lower())) for t in texts],
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(stats, batch_format="pyarrow", batch_size=8192) \
+        .sort("doc_id")
+
+
+SQL_DOC_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN_SQL}')) AS n_tokens,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       len(regexp_extract_all(lower(text), '{STOP_PATTERN_SQL}')) AS n_stop
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_lang_dist(sf_dir: str):
+    """Corpus profile per (lang, source) — combiner + tiny groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": b.column("lang").to_pandas(),
+            "source": b.column("source").to_pandas(),
+            "n_chars": b.column("n_chars").to_pandas(),
+        })
+        return df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192) \
+        .groupby(["lang", "source"]).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars")) \
+        .sort(["lang", "source"])
+
+
+SQL_LANG_DIST = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+def q_quality(sf_dir: str):
+    """Quality features + a boolean gate on integer thresholds. Ratios are
+    single IEEE divisions of the same integers on both sides → bit-identical;
+    rounded to 6 decimals anyway."""
+    import ray.data as rd
+
+    def quality(b: pa.Table) -> pd.DataFrame:
+        texts = b.column("text").to_pylist()
+        n_tok = [len(_TOKEN_RE.findall(t)) for t in texts]
+        n_punct = [len(_PUNCT_RE.findall(t)) for t in texts]
+        n_stop = [len(_STOP_RE.findall(t.lower())) for t in texts]
+        return pd.DataFrame({
+            "doc_id": b.column("doc_id").to_pandas(),
+            "n_tokens": n_tok,
+            "punct_ratio": [round(p / t, 6) if t else 0.0
+                            for p, t in zip(n_punct, n_tok)],
+            "stop_ratio": [round(s / t, 6) if t else 0.0
+                           for s, t in zip(n_stop, n_tok)],
+            "is_quality": [bool(t >= 20 and s > 0) for t, s in zip(n_tok, n_stop)],
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(quality, batch_format="pyarrow", batch_size=8192) \
+        .sort("doc_id")
+
+
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TOKEN_PATTERN_SQL}')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '{STOP_PATTERN_SQL}')) AS n_stop
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE round(n_punct / CAST(n_tokens AS DOUBLE), 6) END AS punct_ratio,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE round(n_stop / CAST(n_tokens AS DOUBLE), 6) END AS stop_ratio,
+       (n_tokens >= 20 AND n_stop > 0) AS is_quality
+FROM t
+ORDER BY doc_id
+"""
+
+
+def q_content_hash(sf_dir: str):
+    """Exact content fingerprint (md5) per doc — the dedup primitive."""
+    import ray.data as rd
+
+    def h(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "h": pa.array([hashlib.md5(t.encode("utf-8")).hexdigest()
+                           for t in texts], pa.string()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(h, batch_format="pyarrow", batch_size=8192).sort("doc_id")
+
+
+SQL_CONTENT_HASH = """
+SELECT doc_id, md5(text) AS h FROM documents ORDER BY doc_id
+"""
+
+
+# -- language ID (heuristic; no SQL equivalent → rows-only driver check) ----
+
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "with", "for", "a"},
+    "de": {"der", "die", "das", "und", "ist", "mit", "für", "von", "nicht", "ein"},
+    "fr": {"le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"},
+    "es": {"el", "la", "los", "y", "es", "en", "para", "que", "una", "de"},
+    "zh": set(),       # no-stopword profile: falls through to CJK char test
+}
+_WORD_RE = re.compile(r"[a-zàâçéèêëîïôûùüÿñæœäöüß]+")
+
+
+class LangId:
+    """Stateful n-gram/stopword language identifier — an actor-pool stage
+    (profiles built once per actor). Deterministic ties: lexicographic."""
+
+    def __init__(self) -> None:
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def predict(self, text: str) -> tuple[str, float]:
+        if any("一" <= c <= "鿿" for c in text[:400]):
+            return "zh", 1.0
+        words = _WORD_RE.findall(text.lower()[:2000])
+        if not words:
+            return "und", 0.0
+        scores = {
+            lang: sum(1 for w in words if w in prof) / len(words)
+            for lang, prof in self.profiles.items() if prof
+        }
+        best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        if best[1] == 0.0:
+            return "und", 0.0
+        return best[0], round(best[1], 6)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in b.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "pred_lang": pa.array([p[0] for p in preds], pa.string()),
+            "confidence": pa.array([p[1] for p in preds], pa.float64()),
+        })
+
+
+def q_langid(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"]) \
+        .map_batches(LangId, batch_format="pyarrow", batch_size=4096,
+                     concurrency=2).sort("doc_id")

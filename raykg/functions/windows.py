@@ -1,0 +1,103 @@
+"""Stream-shaped workloads over the ``events`` log.
+
+Ray Data has no event-time windowing; the engine's contract (documented
+ordering assumption): events are treated as a partitioned log — partition by
+key, sort by ts *within the group* — and windows are computed per group with
+pandas inside ``groupby(key).map_groups`` (tumbling) or with per-batch
+partial aggregation when the window key is derivable per row (the scalable
+path used here for tumbling windows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SESSION_GAP_S = 1800
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type. The window key is a pure
+    function of the row → per-batch combiner + small groupby; NO per-key
+    ordering requirement at all (fully parallel)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        hours = b.column("ts").to_pandas().dt.strftime("%Y-%m-%d %H")
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            "hour": hours,
+            "value_e6": np.round(b.column("value").to_numpy() * 1e6).astype(np.int64),
+        })
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value_e6", "size"), value_e6=("value_e6", "sum"))
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["ts", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("n", alias_name="n"), Sum("value_e6", alias_name="value_e6")) \
+        .sort(["event_type", "hour"])
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS value_e6
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, hour
+"""
+
+
+def q_sessions(sf_dir: str):
+    """Session windows (gap > 30 min splits) per user: the group-and-sort
+    pattern — groupby(user_id) co-locates a user's events, pandas sorts by ts
+    inside the group. Groups are user-sized (bounded), so skew is bounded by
+    the hottest user; a production variant would sessionize per (user, day)
+    to cap group size."""
+    import ray.data as rd
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values(kind="stable")
+        gaps = ts.diff().dt.total_seconds()
+        breaks = (gaps > SESSION_GAP_S) | gaps.isna()
+        sid = breaks.cumsum()
+        counts = sid.value_counts()
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_events": [len(g)],
+            "n_sessions": [int(sid.max())],
+            "max_session_events": [int(counts.max())],
+        })
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"]) \
+        .groupby("user_id").map_groups(sessionize, batch_format="pandas") \
+        .sort("user_id")
+
+
+SQL_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), per_session AS (
+  SELECT user_id, sid, COUNT(*) AS n FROM sessions GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_sessions,
+       CAST(MAX(n) AS BIGINT) AS max_session_events
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""

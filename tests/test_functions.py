@@ -1,0 +1,169 @@
+"""Tests for the general operator suite: driver-style SQL-oracle comparison
+for every SQL-checkable query, brute-force ground truth for the sketch/ANN
+operators, and stub contracts for multimodal decode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import tests.driver_emu as emu
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_names():
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_sql_oracle_match(ray_session, name):
+    problems = emu.run(SF, only=[name])[name]
+    assert not problems, problems
+
+
+# -- MinHash vs brute-force ground truth ------------------------------------
+
+def _brute_jaccard_pairs(texts: dict[int, str], threshold: float) -> set:
+    from raykg.functions.dedup import _shingles, jaccard
+
+    sh = {k: _shingles(t) for k, t in texts.items()}
+    ids = sorted(sh)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if sh[a] and sh[b] and jaccard(sh[a], sh[b]) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_minhash_vs_bruteforce(ray_session):
+    """On a corpus with planted near-dups: precision 1.0 (verification is
+    exact) and recall ≥ 0.9 (LSH banding misses are bounded)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    texts: dict[int, str] = {}
+    for i in range(60):
+        words = list(rng.choice(vocab, size=80))
+        texts[i] = " ".join(words)
+        # planted near-dup: copy with ~7% token edits
+        dup = list(words)
+        for j in rng.choice(len(dup), size=6, replace=False):
+            dup[j] = str(rng.choice(vocab))
+        texts[1000 + i] = " ".join(dup)
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(texts), "text": [texts[k] for k in texts]}))
+
+    from raykg.functions.dedup import minhash_pairs
+
+    got = {(int(a), int(b)) for a, b in
+           minhash_pairs(docs, jaccard_threshold=0.5)
+           .to_pandas()[["a", "b"]].itertuples(index=False)}
+    expected = _brute_jaccard_pairs(texts, 0.5)
+    assert expected, "ground truth must be non-empty"
+    assert got <= expected                      # exact verify → precision 1.0
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.9, recall
+
+
+def test_simhash_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from raykg.functions.dedup import simhash64, simhash_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(150)]
+    texts = {i: " ".join(rng.choice(vocab, size=60)) for i in range(40)}
+    for i in range(10):     # planted: tiny perturbations
+        base = texts[i].split()
+        base[0] = "zzz"
+        texts[2000 + i] = " ".join(base)
+    sigs = {k: simhash64(t) for k, t in texts.items()}
+    ids = sorted(sigs)
+    MASK63 = (1 << 63) - 1
+    expected = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                if bin((sigs[a] & MASK63) ^ (sigs[b] & MASK63)).count("1") <= 3}
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(texts), "text": [texts[k] for k in texts]}))
+    got = {(int(a), int(b)) for a, b in
+           simhash_pairs(docs, max_hamming=3)
+           .to_pandas()[["a", "b"]].itertuples(index=False)}
+    assert expected
+    # chunk-LSH guarantees recall 1.0 for hamming ≤ 3 over 4×16-bit chunks
+    # (pigeonhole) on the 63 bits carried; precision 1.0 by exact verify
+    assert got == expected
+
+
+def test_knn_ivf_recall(ray_session, tmp_path):
+    """IVF is meaningful on CLUSTERABLE data (its core assumption — on
+    uniform random vectors no coarse quantizer concentrates neighbors and
+    recall degrades to probe_fraction; measured 0.1 ≈ 8/64 on the driver's
+    random embeddings). Ground truth here: clustered synthetic corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raykg.functions.similarity import q_knn, q_knn_ivf
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 64)) * 3
+    rows = []
+    for i in range(800):
+        c = centers[i % 8]
+        rows.append((i, (c + rng.standard_normal(64) * 0.5).astype(np.float32)))
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[0] % 8 for r in rows], pa.int32()),
+    }), f"{d}/embeddings.parquet")
+    exact = set(q_knn(d).to_pandas()["vec_id"])
+    approx = set(q_knn_ivf(d).to_pandas()["vec_id"])
+    assert len(exact) == 10 and len(approx) == 10
+    recall = len(exact & approx) / 10
+    assert recall >= 0.8, recall
+
+
+def test_media_meta_and_stubs(ray_session):
+    from raykg.functions.multimodal import (decode_audio, decode_image,
+                                            q_media_meta, synth_payload)
+
+    meta = q_media_meta(SF).to_pandas()
+    assert len(meta) == 500
+    imgs = meta[meta["kind"] == "image"]
+    auds = meta[meta["kind"] == "audio"]
+    assert len(imgs) and len(auds)
+    assert (imgs["width"] > 0).all() and (imgs["rate"] == 0).all()
+    assert (auds["rate"] >= 8000).all() and (auds["width"] == 0).all()
+    kind, payload = synth_payload(1)
+    with pytest.raises(NotImplementedError):
+        decode_image(payload)
+    with pytest.raises(NotImplementedError):
+        decode_audio(payload)
+    # deterministic payloads
+    assert synth_payload(5) == synth_payload(5)
+
+
+def test_langid_deterministic(ray_session):
+    from raykg.functions.textstats import LangId
+
+    li = LangId()
+    assert li.predict("the cat and the dog is in the house")[0] == "en"
+    assert li.predict("der hund und die katze ist nicht hier")[0] == "de"
+    assert li.predict("")[0] == "und"
+    assert li.predict("北京 欢迎 你")[0] == "zh"
+
+
+def test_entry_contract(ray_session):
+    """entry() returns a Dataset with ≥0 rows and a stable schema, without
+    touching ray.init (the driver owns the session)."""
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    assert ds.count() > 0
+    assert ds.schema().names == ["src", "pred", "dst", "weight", "urls"]
