@@ -38,8 +38,11 @@ class PipelineConfig:
     seed: int = 42                   # surrogate weight seed — THE determinism root
 
     # Ray execution knobs (scale tuning; not semantics)
-    scorer_batch_size: int = 256     # docs per scorer batch
-    scorer_concurrency: int = 8      # actor pool size for the mention scorer
+    scorer_batch_size: int = 64      # docs per scorer batch (~200ms of work:
+                                     # small enough to parallelize small
+                                     # shards, large enough to amortize)
+    scorer_concurrency: int = 30     # actor pool UPPER bound; pool autoscales
+                                     # from 1 and is capped at CPUs-2
     linker_batch_size: int = 4096
     linker_concurrency: int = 4
 

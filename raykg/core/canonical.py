@@ -57,6 +57,25 @@ def node_id(canonical: str) -> int:
                           "big") & 0x7FFF_FFFF_FFFF_FFFF
 
 
+_SURFACE_MEMO_CAP = 200_000
+_surface_memo: dict[str, tuple[str, int]] = {}
+
+
+def surface_key(s: str) -> tuple[str, int]:
+    """Memoized (normalize_surface(s), node_id(·)) — surfaces follow a Zipf
+    law, so the per-worker cache hit rate is near 1 in the triple→node and
+    canonicalization combiners. Bounded: cleared when it hits the cap (a
+    cache reset only costs recomputation, never correctness)."""
+    got = _surface_memo.get(s)
+    if got is None:
+        if len(_surface_memo) >= _SURFACE_MEMO_CAP:
+            _surface_memo.clear()
+        norm = normalize_surface(s)
+        got = (norm, node_id(norm))
+        _surface_memo[s] = got
+    return got
+
+
 _EMB_DIM = 64
 
 

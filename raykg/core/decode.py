@@ -59,17 +59,19 @@ def decode_spans(logits: np.ndarray, enc: SchemaEncoding, threshold: float) -> l
     widths = enc.span_widths[span_idx]
     order = np.lexsort((label_idx, widths, starts, -scores))
     kept: list[tuple[int, int, int, float]] = []   # (start, end, label, score)
-    occupied: list[tuple[int, int]] = []
-    for i in order:
-        s = int(starts[i]); w = int(widths[i]); e = s + w
-        ok = True
-        for (ks, ke) in occupied:
-            if s <= ke and e >= ks:        # word-interval overlap, label-blind
-                ok = False
-                break
-        if ok:
-            kept.append((s, e, int(label_idx[i]), float(scores[i])))
-            occupied.append((s, e))
+    # occupancy as an int bitmask over word positions: overlap test is one
+    # big-int AND (~100ns), label-blind interval NMS semantics unchanged
+    occupied = 0
+    starts_l = starts.tolist()
+    widths_l = widths.tolist()
+    labels_l = label_idx.tolist()
+    scores_l = scores.tolist()
+    for i in order.tolist():
+        s = starts_l[i]; e = s + widths_l[i]
+        m = ((1 << (e - s + 1)) - 1) << s
+        if not occupied & m:
+            kept.append((s, e, labels_l[i], scores_l[i]))
+            occupied |= m
     kept.sort(key=lambda t: (t[0], -t[3], t[1], t[2]))   # start asc, score desc
     out: list[Mention] = []
     for s, e, li, sc in kept:

@@ -85,6 +85,13 @@ class RelationConfig:
     def compile(self) -> list[tuple[RelationPattern, re.Pattern]]:
         return [(p, p.compiled()) for p in self.patterns]
 
+    def prefilter(self) -> re.Pattern:
+        """One combined alternation: a pair whose between-text matches NO
+        pattern (the common case in real text) is rejected with a single
+        regex scan instead of |patterns| scans."""
+        return re.compile("|".join(f"(?:{p.regex})" for p in self.patterns),
+                          re.IGNORECASE)
+
 
 def sentence_spans(text: str) -> list[tuple[int, int]]:
     """[(start, end)) sentence ranges covering the text, boundaries at
@@ -104,12 +111,15 @@ def sentence_spans(text: str) -> list[tuple[int, int]]:
 def extract_triples(text: str, mentions: list[Mention],
                     config: RelationConfig | None = None,
                     compiled: list[tuple[RelationPattern, re.Pattern]] | None = None,
-                    ) -> list[Triple]:
-    """Emit triples from doc-level mentions. ``compiled`` lets an actor pass
-    patterns compiled once in ``__init__`` (stateful-stage rule)."""
+                    prefilter: re.Pattern | None = None) -> list[Triple]:
+    """Emit triples from doc-level mentions. ``compiled``/``prefilter`` let
+    an actor pass patterns compiled once in ``__init__`` (stateful-stage
+    rule)."""
     config = config or RelationConfig()
     if compiled is None:
         compiled = config.compile()
+    if prefilter is None:
+        prefilter = config.prefilter()
     if len(mentions) < 2:
         return []
     sents = sentence_spans(text)
@@ -129,6 +139,8 @@ def extract_triples(text: str, mentions: list[Mention],
             if gap < 0 or gap > config.max_gap_chars:
                 continue
             between = text[a.end:b.start]
+            if not prefilter.search(between):
+                continue
             for pat, rx in compiled:
                 if pat.subj_labels is not None and a.label not in pat.subj_labels:
                     continue

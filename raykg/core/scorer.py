@@ -59,6 +59,7 @@ class SurrogateBackend:
         self.tokenizer = WordTokenizer(config.seed)
         self._tok_emb: dict[int, np.ndarray] = {}
         self._label_emb: dict[str, np.ndarray] = {}
+        self._feat_cache: dict[str, tuple[float, float]] = {}
         self._scale = 1.0 / np.sqrt(self.core)
 
     # -- A1: encoder ------------------------------------------------------
@@ -109,20 +110,26 @@ class SurrogateBackend:
         return v
 
     # -- word surface features -------------------------------------------
-    @staticmethod
-    def _word_feats(words: list[str]) -> np.ndarray:
+    def _word_feats(self, words: list[str]) -> np.ndarray:
         """(n_words, 2): [is_capitalized_alpha, has_digit] per ORIGINAL word.
 
         Capitalization is read from the original surface — the reference
         lowercases words only for subword tokenization and slices surfaces
         from the original text (GLiNERTokenizer.swift:306,
-        SpanDecoder.swift:54-60)."""
+        SpanDecoder.swift:54-60). Per-word results are memoized (surfaces
+        follow a Zipf law; the cache hit rate is near 1)."""
+        cache = self._feat_cache
         n = len(words)
-        f = np.zeros((n, 2), dtype=np.float64)
+        f = np.empty((n, 2), dtype=np.float64)
         for i, w in enumerate(words):
-            c0 = w[0] if w else ""
-            f[i, 0] = 1.0 if (c0.isupper() and w.isalnum()) else 0.0
-            f[i, 1] = 1.0 if any(ch.isdigit() for ch in w) else 0.0
+            got = cache.get(w)
+            if got is None:
+                c0 = w[0] if w else ""
+                got = (1.0 if (c0.isupper() and w.isalnum()) else 0.0,
+                       1.0 if any(ch.isdigit() for ch in w) else 0.0)
+                cache[w] = got
+            f[i, 0] = got[0]
+            f[i, 1] = got[1]
         return f
 
     # -- A2: span representation -----------------------------------------

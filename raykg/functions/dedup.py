@@ -73,7 +73,8 @@ def jaccard(a: set, b: set) -> float:
 def q_dedup_exact(sf_dir: str):
     """Exact dedup groups: md5(text) → keeper = min doc_id, group size."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Min
+
+    from ..stages.shuffle import bucketed_named_agg
 
     def add_hash(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -82,12 +83,12 @@ def q_dedup_exact(sf_dir: str):
                            for t in b.column("text").to_pylist()], pa.string()),
         })
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]) \
-        .map_batches(add_hash, batch_format="pyarrow", batch_size=8192) \
-        .groupby("h").aggregate(Min("doc_id", alias_name="keeper"),
-                                Count(alias_name="n_dups")) \
-        .sort("h")
+    hashed = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]) \
+        .map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+    return bucketed_named_agg(hashed, ["h"],
+                              {"keeper": ("doc_id", "min"),
+                               "n_dups": ("doc_id", "size")}).sort("h")
 
 
 SQL_DEDUP_EXACT = """
@@ -126,25 +127,26 @@ def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42,
                          "bandhash": pa.array(out_hash, pa.int64()),
                          "doc_id": pa.array(out_doc, pa.int64())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["doc_id"]))
-        if len(ids) < 2 or len(ids) > 500:     # skew guard on degenerate buckets
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         aa, bb = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                aa.append(ids[i])
-                bb.append(ids[j])
+        for _, g in df.groupby(["band", "bandhash"], sort=True):
+            ids = sorted(set(int(x) for x in g["doc_id"]))
+            if len(ids) < 2 or len(ids) > 500:   # skew guard: degenerate buckets
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    aa.append(ids[i])
+                    bb.append(ids[j])
         return pd.DataFrame({"a": pd.Series(aa, dtype="int64"),
                              "b": pd.Series(bb, dtype="int64")})
 
-    candidates = docs_ds.map_batches(bands, batch_format="pyarrow",
-                                     batch_size=4096) \
-        .groupby(["band", "bandhash"]).map_groups(bucket_pairs,
-                                                  batch_format="pandas") \
-        .groupby(["a", "b"]).map_groups(lambda g: g.head(1),
-                                        batch_format="pandas")   # distinct pairs
+    from ..stages.shuffle import bucketed_group_apply
+
+    candidates = bucketed_group_apply(
+        docs_ds.map_batches(bands, batch_format="pyarrow", batch_size=4096),
+        ["band", "bandhash"], bucket_pairs)
+    candidates = bucketed_group_apply(
+        candidates, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]))
 
     if texts_by_id is None:
         texts_by_id = {}
@@ -219,30 +221,32 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                          "doc_id": pa.array(out_doc, pa.int64()),
                          "sig63": pa.array(out_sig, pa.int64())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip((int(x) for x in g["doc_id"]),
-                              (int(s) for s in g["sig63"]))))
-        if len(rows) < 2 or len(rows) > 500:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         aa, bb, hh = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                # hamming over low 63 bits (bit 63 dropped by int64 storage;
-                # a 1-bit information loss accepted for Arrow int64 transport)
-                ham = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if ham <= max_hamming:
-                    aa.append(rows[i][0])
-                    bb.append(rows[j][0])
-                    hh.append(ham)
+        for _, g in df.groupby(["chunk", "val"], sort=True):
+            rows = sorted(set(zip((int(x) for x in g["doc_id"]),
+                                  (int(s) for s in g["sig63"]))))
+            if len(rows) < 2 or len(rows) > 500:
+                continue
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    # hamming over low 63 bits (bit 63 dropped by int64
+                    # storage; 1-bit loss accepted for Arrow transport)
+                    ham = bin(rows[i][1] ^ rows[j][1]).count("1")
+                    if ham <= max_hamming:
+                        aa.append(rows[i][0])
+                        bb.append(rows[j][0])
+                        hh.append(ham)
         return pd.DataFrame({"a": pd.Series(aa, dtype="int64"),
                              "b": pd.Series(bb, dtype="int64"),
                              "hamming": pd.Series(hh, dtype="int64")})
 
-    return docs_ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096) \
-        .groupby(["chunk", "val"]).map_groups(bucket_pairs, batch_format="pandas") \
-        .groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas") \
+    from ..stages.shuffle import bucketed_group_apply
+
+    sketched = docs_ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096)
+    pairs = bucketed_group_apply(sketched, ["chunk", "val"], bucket_pairs)
+    return bucketed_group_apply(pairs, ["a", "b"],
+                                lambda df: df.drop_duplicates(["a", "b"])) \
         .sort(["a", "b"])
 
 
@@ -277,23 +281,27 @@ def q_ngram_jaccard(sf_dir: str):
                          "doc_id": pa.array(doc_id, pa.int64()),
                          "toks": pa.array(toks, pa.list_(pa.string()))})
 
-    def join_pair(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        g = g.sort_values("role")
-        ta = set(g["toks"].iloc[0])
-        tb = set(g["toks"].iloc[1])
-        return pd.DataFrame({"a": [int(g["doc_id"].iloc[0])],
-                             "b": [int(g["doc_id"].iloc[1])],
-                             "jaccard": [round(jaccard(ta, tb), 6)]})
+    def join_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        aa, bb, jj = [], [], []
+        for _, g in df.groupby("pair_id", sort=True):
+            if len(g) != 2:
+                continue
+            g = g.sort_values("role")
+            ta = set(g["toks"].iloc[0])
+            tb = set(g["toks"].iloc[1])
+            aa.append(int(g["doc_id"].iloc[0]))
+            bb.append(int(g["doc_id"].iloc[1]))
+            jj.append(round(jaccard(ta, tb), 6))
+        return pd.DataFrame({"a": pd.Series(aa, dtype="int64"),
+                             "b": pd.Series(bb, dtype="int64"),
+                             "jaccard": pd.Series(jj, dtype="float64")})
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]) \
-        .map_batches(emit, batch_format="pyarrow", batch_size=4096) \
-        .groupby("pair_id").map_groups(join_pair, batch_format="pandas") \
-        .sort("a")
+    from ..stages.shuffle import bucketed_group_apply
+
+    emitted = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]) \
+        .map_batches(emit, batch_format="pyarrow", batch_size=4096)
+    return bucketed_group_apply(emitted, ["pair_id"], join_pairs).sort("a")
 
 
 SQL_NGRAM_JACCARD = """

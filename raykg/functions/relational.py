@@ -21,7 +21,8 @@ def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-shaped aggregate: pre-aggregate per batch (combiner), then a
     tiny groupby over partials. Columns pruned at the read."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+
+    from ..stages.shuffle import bucketed_named_agg
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -45,11 +46,10 @@ def q_lineitem_agg(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("revenue_e4", alias_name="revenue_e4"),
-        Sum("n", alias_name="n"),
-    ).sort(["l_returnflag", "l_linestatus"])
+    return bucketed_named_agg(
+        partials, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("sum_qty", "sum"), "revenue_e4": ("revenue_e4", "sum"),
+         "n": ("n", "sum")}).sort(["l_returnflag", "l_linestatus"])
 
 
 SQL_LINEITEM_AGG = """
@@ -70,7 +70,8 @@ def q_mktsegment_orders(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_named_agg
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
@@ -89,11 +90,10 @@ def q_mktsegment_orders(sf_dir: str):
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    return orders.map_batches(join_agg, batch_format="pyarrow", batch_size=65536) \
-        .groupby("segment").aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("total_e2", alias_name="total_e2")) \
-        .sort("segment")
+    partials = orders.map_batches(join_agg, batch_format="pyarrow", batch_size=65536)
+    return bucketed_named_agg(partials, ["segment"],
+                              {"n_orders": ("n_orders", "sum"),
+                               "total_e2": ("total_e2", "sum")}).sort("segment")
 
 
 SQL_MKTSEGMENT_ORDERS = """
@@ -110,7 +110,8 @@ def q_orders_monthly(sf_dir: str):
     """Calendar aggregation; month key as a string to sidestep timestamp
     round-trip representation differences."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_named_agg
 
     def partial(b: pa.Table) -> pd.DataFrame:
         months = b.column("o_orderdate").to_pandas().dt.strftime("%Y-%m")
@@ -119,12 +120,12 @@ def q_orders_monthly(sf_dir: str):
         return df.groupby("month", as_index=False).agg(
             n_orders=("total_e2", "size"), total_e2=("total_e2", "sum"))
 
-    return rd.read_parquet(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderdate", "o_totalprice"]) \
-        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
-        .groupby("month").aggregate(Sum("n_orders", alias_name="n_orders"),
-                                    Sum("total_e2", alias_name="total_e2")) \
-        .sort("month")
+    partials = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return bucketed_named_agg(partials, ["month"],
+                              {"n_orders": ("n_orders", "sum"),
+                               "total_e2": ("total_e2", "sum")}).sort("month")
 
 
 SQL_ORDERS_MONTHLY = """
@@ -141,7 +142,8 @@ def q_top_parts(sf_dir: str):
     """Top-k by aggregated revenue: groupby partials → sort desc → limit.
     The sort runs over the aggregated (small) keyspace, never the fact rows."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_named_agg
 
     def partial(b: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame({
@@ -152,10 +154,11 @@ def q_top_parts(sf_dir: str):
         })
         return df.groupby("l_partkey", as_index=False).agg(rev_e4=("rev_e4", "sum"))
 
-    agg = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                          columns=["l_partkey", "l_extendedprice", "l_discount"]) \
-        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
-        .groupby("l_partkey").aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    agg = bucketed_named_agg(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["l_partkey"], {"rev_e4": ("rev_e4", "sum")}, num_buckets=16)
     top = agg.sort(["rev_e4", "l_partkey"], descending=[True, False]).limit(10)
 
     def rank(b: pa.Table) -> pa.Table:

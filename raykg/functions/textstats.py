@@ -60,7 +60,8 @@ ORDER BY doc_id
 def q_lang_dist(sf_dir: str):
     """Corpus profile per (lang, source) — combiner + tiny groupby."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_named_agg
 
     def partial(b: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame({
@@ -71,12 +72,12 @@ def q_lang_dist(sf_dir: str):
         return df.groupby(["lang", "source"], as_index=False).agg(
             n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["lang", "source", "n_chars"]) \
-        .map_batches(partial, batch_format="pyarrow", batch_size=8192) \
-        .groupby(["lang", "source"]).aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("total_chars", alias_name="total_chars")) \
+    partials = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    return bucketed_named_agg(partials, ["lang", "source"],
+                              {"n_docs": ("n_docs", "sum"),
+                               "total_chars": ("total_chars", "sum")}) \
         .sort(["lang", "source"])
 
 

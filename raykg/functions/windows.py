@@ -22,7 +22,8 @@ def q_events_hourly(sf_dir: str):
     function of the row → per-batch combiner + small groupby; NO per-key
     ordering requirement at all (fully parallel)."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucketed_named_agg
 
     def partial(b: pa.Table) -> pd.DataFrame:
         hours = b.column("ts").to_pandas().dt.strftime("%Y-%m-%d %H")
@@ -34,11 +35,12 @@ def q_events_hourly(sf_dir: str):
         return df.groupby(["event_type", "hour"], as_index=False).agg(
             n=("value_e6", "size"), value_e6=("value_e6", "sum"))
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet",
-                           columns=["ts", "event_type", "value"]) \
-        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
-        .groupby(["event_type", "hour"]).aggregate(
-            Sum("n", alias_name="n"), Sum("value_e6", alias_name="value_e6")) \
+    partials = rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return bucketed_named_agg(partials, ["event_type", "hour"],
+                              {"n": ("n", "sum"),
+                               "value_e6": ("value_e6", "sum")}) \
         .sort(["event_type", "hour"])
 
 
@@ -60,23 +62,25 @@ def q_sessions(sf_dir: str):
     to cap group size."""
     import ray.data as rd
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values(kind="stable")
-        gaps = ts.diff().dt.total_seconds()
-        breaks = (gaps > SESSION_GAP_S) | gaps.isna()
-        sid = breaks.cumsum()
-        counts = sid.value_counts()
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_events": [len(g)],
-            "n_sessions": [int(sid.max())],
-            "max_session_events": [int(counts.max())],
-        })
+    def sessionize_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """FULLY vectorized over all users in the bucket: one sort, one
+        grouped diff, one cumsum — no per-user Python."""
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        gaps = df.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        brk = (gaps > SESSION_GAP_S) | gaps.isna()
+        df = df.assign(sid=brk.cumsum())     # global ids; new user ⇒ new session
+        per_session = df.groupby(["user_id", "sid"], sort=False).size() \
+            .rename("n").reset_index()
+        out = per_session.groupby("user_id", sort=True).agg(
+            n_events=("n", "sum"), n_sessions=("n", "size"),
+            max_session_events=("n", "max")).reset_index()
+        return out.astype({"user_id": "int64", "n_events": "int64",
+                           "n_sessions": "int64", "max_session_events": "int64"})
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet",
-                           columns=["user_id", "ts"]) \
-        .groupby("user_id").map_groups(sessionize, batch_format="pandas") \
-        .sort("user_id")
+    from ..stages.shuffle import bucketed_group_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return bucketed_group_apply(ev, ["user_id"], sessionize_bucket).sort("user_id")
 
 
 SQL_SESSIONS = """

@@ -52,6 +52,7 @@ class Oracle:
         self.backend = SurrogateBackend(self.config)
         self.relations = RelationConfig()
         self._compiled = self.relations.compile()
+        self._prefilter = self.relations.prefilter()
 
     # -- core NER path ----------------------------------------------------
     def _run_extraction(self, text: str, labels: list[str], threshold: float) -> list[Mention]:
@@ -121,5 +122,6 @@ class Oracle:
                      threshold: float | None = None) -> PageResult:
         text = extract_text(html)
         mentions = self.extract_mentions(text, labels, threshold)
-        triples = extract_triples(text, mentions, self.relations, self._compiled)
+        triples = extract_triples(text, mentions, self.relations,
+                                  self._compiled, self._prefilter)
         return PageResult(url, text, mentions, triples)

@@ -184,25 +184,36 @@ PAGES_SCHEMA = pa.schema([
 ])
 
 
-def pages_batch(batch: pa.Table, seed: int = 42) -> pa.Table:
-    """map_batches UDF: documents rows → pages rows (Arrow in / Arrow out)."""
+def pages_batch(batch: pa.Table, seed: int = 42, repeat: int = 1) -> pa.Table:
+    """map_batches UDF: documents rows → pages rows (Arrow in / Arrow out).
+
+    ``repeat`` > 1 emits that many page VARIANTS per document (doc_id shifted
+    by k·10^7 → different urls/entities/timestamps) — a deterministic corpus
+    multiplier for benchmarking, independent of batch boundaries."""
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     langs = batch.column("lang").to_pylist()
-    rows = [make_page_row(d, f, l, seed) for d, f, l in zip(doc_ids, texts, langs)]
+    rows = [make_page_row(d + k * 10_000_000, f, l, seed)
+            for k in range(repeat)
+            for d, f, l in zip(doc_ids, texts, langs)]
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
-def pages_dataset(sf_dir: str, seed: int = 42):
+def pages_dataset(sf_dir: str, seed: int = 42, repeat: int = 1):
     """documents.parquet → synthetic pages Dataset (lazy, streaming)."""
     import ray.data as rd
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
-    return docs.map_batches(lambda b: pages_batch(b, seed), batch_format="pyarrow")
+    return docs.map_batches(lambda b: pages_batch(b, seed, repeat),
+                            batch_format="pyarrow")
 
 
-def write_pages_parquet(sf_dir: str, out_dir: str, seed: int = 42) -> str:
+def write_pages_parquet(sf_dir: str, out_dir: str, seed: int = 42,
+                        repeat: int = 1, num_files: int | None = None) -> str:
     """Materialize the synthetic pages corpus once (bench warm path)."""
-    pages_dataset(sf_dir, seed).write_parquet(out_dir)
+    ds = pages_dataset(sf_dir, seed, repeat)
+    if num_files:
+        ds = ds.repartition(num_files)
+    ds.write_parquet(out_dir)
     return out_dir

@@ -44,9 +44,11 @@ def partial_canonical(batch: pa.Table, salts: int = DEFAULT_SALTS) -> pa.Table:
     aliases_json) rows. Runs inside map_batches; no shuffle yet."""
     surfaces = batch.column("text").to_pylist()
     labels = batch.column("label").to_pylist()
+    from ..core.canonical import surface_key
+
     acc: dict[str, tuple[int, dict, set]] = {}
     for s, l in zip(surfaces, labels):
-        norm = normalize_surface(s)
+        norm = surface_key(s)[0]
         if not norm:
             continue
         got = acc.get(norm)
@@ -74,50 +76,66 @@ def partial_canonical(batch: pa.Table, salts: int = DEFAULT_SALTS) -> pa.Table:
     })
 
 
-def _merge_partials(g: pd.DataFrame) -> pd.DataFrame:
-    """Associative merge of partial rows sharing a key (used at BOTH phases)."""
-    norm = g["norm"].iloc[0]
-    count = int(g["count"].sum())
-    lc: dict[str, int] = {}
-    al: set[str] = set()
-    for s in g["label_counts"]:
-        for k, v in json.loads(s).items():
-            lc[k] = lc.get(k, 0) + v
-    for s in g["aliases"]:
-        al.update(json.loads(s))
-    al = set(sorted(al)[:_MAX_ALIASES])
-    return pd.DataFrame({
-        "norm": [norm], "salt": [0], "count": [count],
-        "label_counts": [json.dumps(lc, sort_keys=True)],
-        "aliases": [json.dumps(sorted(al))],
-    })
+def _merge_rows(keys: list, groups: "pd.core.groupby.DataFrameGroupBy",
+                finalize: bool) -> pd.DataFrame:
+    """Merge partial rows per key (vectorized count sum; JSON state merged
+    per key — keys, not rows, bound the Python work)."""
+    counts = groups["count"].sum()
+    rows = {"norm": [], "salt": [], "count": [], "label_counts": [], "aliases": []}
+    final_rows = {"node_id": [], "canonical": [], "label": [], "aliases": [],
+                  "mention_count": []}
+    for key, sub in groups:
+        norm = key[0] if isinstance(key, tuple) else key
+        lc: dict[str, int] = {}
+        al: set[str] = set()
+        for s in sub["label_counts"]:
+            for k, v in json.loads(s).items():
+                lc[k] = lc.get(k, 0) + v
+        for s in sub["aliases"]:
+            al.update(json.loads(s))
+        al_sorted = sorted(al)[:_MAX_ALIASES]
+        if finalize:
+            label = max(lc.items(), key=lambda kv: (kv[1], kv[0]))[0] if lc else ""
+            final_rows["node_id"].append(node_id(norm))
+            final_rows["canonical"].append(norm)
+            final_rows["label"].append(label)
+            final_rows["aliases"].append(al_sorted)
+            final_rows["mention_count"].append(int(counts.loc[key]))
+        else:
+            rows["norm"].append(norm)
+            rows["salt"].append(0)
+            rows["count"].append(int(counts.loc[key]))
+            rows["label_counts"].append(json.dumps(lc, sort_keys=True))
+            rows["aliases"].append(json.dumps(al_sorted))
+    return pd.DataFrame(final_rows if finalize else rows)
 
 
-def _finalize(g: pd.DataFrame) -> pd.DataFrame:
-    m = _merge_partials(g)
-    lc = json.loads(m["label_counts"].iloc[0])
-    # deterministic majority label: max count, ties lexicographic
-    label = max(lc.items(), key=lambda kv: (kv[1], kv[0]))[0] if lc else ""
-    norm = m["norm"].iloc[0]
-    return pd.DataFrame({
-        "node_id": [node_id(norm)],
-        "canonical": [norm],
-        "label": [label],
-        "aliases": [json.loads(m["aliases"].iloc[0])],
-        "mention_count": [int(m["count"].iloc[0])],
-    })
-
-
-def canonicalize(mentions_ds, salts: int = DEFAULT_SALTS):
+def canonicalize(mentions_ds, salts: int = DEFAULT_SALTS, num_buckets: int = 32):
     """mentions Dataset → nodes Dataset (pre-alias-merge).
 
-    Two groupbys, both over partial aggregates: (norm, salt) then (norm)."""
+    Three-layer aggregation, each layer bounding the next:
+      1. in-batch combiner (partial_canonical) — the shuffle moves partials,
+         not mentions;
+      2. SALTED merge: bucketized groupby on (norm, salt) — a hot surface's
+         partials (≤ one per batch) are first collapsed S-ways in parallel;
+      3. final bucketized groupby on (norm) over ≤ S rows per key.
+    Both groupbys use the bucketized pattern (raykg.stages.shuffle): one
+    vectorized pandas call per hash bucket, never one call per key."""
+    from .shuffle import bucketed_group_apply
+
     partials = mentions_ds.map_batches(
         lambda b: partial_canonical(b, salts), batch_format="pyarrow")
-    merged = partials.groupby(["norm", "salt"]).map_groups(
-        _merge_partials, batch_format="pandas")
-    nodes = merged.groupby("norm").map_groups(_finalize, batch_format="pandas")
-    return nodes
+
+    def merge_salted(df: pd.DataFrame) -> pd.DataFrame:
+        return _merge_rows(["norm", "salt"], df.groupby(["norm", "salt"],
+                                                        sort=True), False)
+
+    def merge_final(df: pd.DataFrame) -> pd.DataFrame:
+        return _merge_rows(["norm"], df.groupby("norm", sort=True), True)
+
+    merged = bucketed_group_apply(partials, ["norm", "salt"], merge_salted,
+                                  num_buckets)
+    return bucketed_group_apply(merged, ["norm"], merge_final, num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -163,30 +181,32 @@ def alias_pairs(nodes_ds, cos_threshold: float = 0.80, seed: int = 42):
     variants never reach here at all (normalize_surface strips them).
     groupby(bucket) moves one small row per (surface, token); pairs found in
     several buckets are harmless — union-find is idempotent."""
+    from .shuffle import bucketed_group_apply
+
     buckets = nodes_ds.select_columns(["node_id", "canonical"]) \
         .map_batches(_blocking_keys, batch_format="pyarrow")
     embedder_seed = seed
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > _MAX_BUCKET:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
+    def pairs_in_hash_bucket(df: pd.DataFrame) -> pd.DataFrame:
         emb = SurfaceEmbedder(embedder_seed)
-        surfs = list(g["canonical"])
-        ids = list(g["node_id"])
-        m = emb.embed_many(surfs)
-        sims = m @ m.T
-        first = [s.split(" ", 1)[0] for s in surfs]
-        ii, jj = np.nonzero(np.triu(sims >= cos_threshold, k=1))
         aa, bb = [], []
-        for i, j in zip(ii, jj):
-            if first[i] == first[j]:        # anti-bridge constraint
-                aa.append(int(ids[i]))
-                bb.append(int(ids[j]))
+        for _, g in df.groupby("bucket", sort=True):
+            if len(g) < 2 or len(g) > _MAX_BUCKET:
+                continue
+            surfs = list(g["canonical"])
+            ids = list(g["node_id"])
+            m = emb.embed_many(surfs)
+            sims = m @ m.T
+            first = [s.split(" ", 1)[0] for s in surfs]
+            ii, jj = np.nonzero(np.triu(sims >= cos_threshold, k=1))
+            for i, j in zip(ii, jj):
+                if first[i] == first[j]:        # anti-bridge constraint
+                    aa.append(int(ids[i]))
+                    bb.append(int(ids[j]))
         return pd.DataFrame({"a": pd.Series(aa, dtype="int64"),
                              "b": pd.Series(bb, dtype="int64")})
 
-    return buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    return bucketed_group_apply(buckets, ["bucket"], pairs_in_hash_bucket)
 
 
 def components_driver(pairs_ds) -> dict[int, int]:
@@ -251,36 +271,50 @@ def components_distributed(pairs_ds, max_iter: int = 10):
 
 
 def apply_alias_merge(nodes_ds, alias_map: dict[int, int]):
-    """Rewrite node rows through the alias map and re-merge rows that landed
-    on the same root (groupby over the now-tiny merged set)."""
+    """Rewrite node rows through the alias map and re-merge the affected
+    rows. Unaffected nodes (the overwhelming majority) stream through
+    untouched — only rows whose id is a key OR root of the alias map enter
+    the (bucketized) regroup."""
     if not alias_map:
         return nodes_ds
+    affected = set(alias_map) | set(alias_map.values())
 
     def rewrite(b: pa.Table, m=alias_map) -> pa.Table:
         ids = b.column("node_id").to_pylist()
         return b.set_column(b.schema.get_field_index("node_id"), "node_id",
                             pa.array([m.get(i, i) for i in ids], pa.int64()))
 
-    def remerge(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 1:
-            return g
-        # deterministic winner: most mentions, ties by lexicographic surface
-        g2 = g.sort_values(["mention_count", "canonical"],
-                           ascending=[False, True], kind="stable")
-        canon = g2["canonical"].iloc[0]
-        aliases = sorted({a for al in g2["aliases"] for a in al} |
-                         set(g2["canonical"]) - {canon})[:_MAX_ALIASES]
-        lc: dict[str, int] = {}
-        for lab, cnt in zip(g2["label"], g2["mention_count"]):
-            lc[lab] = lc.get(lab, 0) + int(cnt)
-        label = max(lc.items(), key=lambda kv: (kv[1], kv[0]))[0]
-        return pd.DataFrame({
-            "node_id": [g2["node_id"].iloc[0]],
-            "canonical": [canon],
-            "label": [label],
-            "aliases": [aliases],
-            "mention_count": [int(g2["mention_count"].sum())],
-        })
+    def split(b: pa.Table, keep_affected: bool) -> pa.Table:
+        ids = b.column("node_id").to_pylist()
+        mask = pa.array([(i in affected) == keep_affected for i in ids])
+        return b.filter(mask)
 
-    return nodes_ds.map_batches(rewrite, batch_format="pyarrow") \
-        .groupby("node_id").map_groups(remerge, batch_format="pandas")
+    def remerge(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"node_id": [], "canonical": [], "label": [], "aliases": [],
+               "mention_count": []}
+        for nid, g in df.groupby("node_id", sort=True):
+            # deterministic winner: most mentions, ties by lexicographic surface
+            g2 = g.sort_values(["mention_count", "canonical"],
+                               ascending=[False, True], kind="stable")
+            canon = g2["canonical"].iloc[0]
+            aliases = sorted({a for al in g2["aliases"] for a in al} |
+                             set(g2["canonical"]) - {canon})[:_MAX_ALIASES]
+            lc: dict[str, int] = {}
+            for lab, cnt in zip(g2["label"], g2["mention_count"]):
+                lc[lab] = lc.get(lab, 0) + int(cnt)
+            out["node_id"].append(int(nid))
+            out["canonical"].append(canon)
+            out["label"].append(max(lc.items(), key=lambda kv: (kv[1], kv[0]))[0])
+            out["aliases"].append(aliases)
+            out["mention_count"].append(int(g2["mention_count"].sum()))
+        return pd.DataFrame(out)
+
+    from .shuffle import bucketed_group_apply
+
+    untouched = nodes_ds.map_batches(lambda b: split(b, False),
+                                     batch_format="pyarrow")
+    merged = bucketed_group_apply(
+        nodes_ds.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+                .map_batches(rewrite, batch_format="pyarrow"),
+        ["node_id"], remerge, num_buckets=8)
+    return untouched.union(merged)

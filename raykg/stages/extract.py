@@ -42,23 +42,21 @@ def extract_docs(batch: pa.Table) -> pa.Table:
     })
 
 
-def dedup_pages(pages_ds):
+def dedup_pages(pages_ds, num_buckets: int = 32):
     """Exact input dedup by url, keeping the newest ``warc_ts``
-    (SURVEY.md §7.3: hash-partition + per-group max).
+    (SURVEY.md §7.3: hash-partition + per-key max).
 
     This is a full shuffle of the page rows (html included) — the
     scale-correct formulation: rows sharing a url MUST be co-located to pick
-    a winner. Groups are tiny (duplicate cardinality per url ≈ 1-2), so
-    there is no skew concern. An alternative that avoids moving html —
-    aggregate (url → max ts) small-side then semi-join — trades the shuffle
-    for a broadcast that cannot hold 10^12 urls; rejected."""
-    import pandas as pd
+    a winner. Implemented as a bucketized hash partition with a VECTORIZED
+    in-bucket sort+drop_duplicates (raykg.stages.shuffle), not per-url
+    map_groups. An alternative that avoids moving html — aggregate
+    (url → max ts) small-side then semi-join — trades the shuffle for a
+    broadcast that cannot hold 10^12 urls; rejected."""
+    from .shuffle import first_per_key
 
-    def keep_newest(g: pd.DataFrame) -> pd.DataFrame:
-        # deterministic winner: max warc_ts, ties by url order stability
-        return g.sort_values("warc_ts", ascending=False, kind="stable").head(1)
-
-    return pages_ds.groupby("url").map_groups(keep_newest, batch_format="pandas")
+    return first_per_key(pages_ds, ["url"], "warc_ts", ascending=False,
+                         num_buckets=num_buckets)
 
 
 def filter_lang(ds, langs: tuple[str, ...] = ("en",)):

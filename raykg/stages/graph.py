@@ -35,10 +35,12 @@ def partial_edges(batch: pa.Table, alias_map: dict[int, int] | None = None) -> p
     preds = batch.column("pred").to_pylist()
     objs = batch.column("obj").to_pylist()
     urls = batch.column("url").to_pylist()
+    from ..core.canonical import surface_key
+
     acc: dict[tuple[int, str, int], tuple[int, set]] = {}
     for s, p, o, u in zip(subs, preds, objs, urls):
-        sid = node_id(normalize_surface(s))
-        oid = node_id(normalize_surface(o))
+        sid = surface_key(s)[1]
+        oid = surface_key(o)[1]
         sid = am.get(sid, sid)
         oid = am.get(oid, oid)
         key = (sid, p, oid)
@@ -59,25 +61,36 @@ def partial_edges(batch: pa.Table, alias_map: dict[int, int] | None = None) -> p
     })
 
 
-def _merge_edge_partials(g: pd.DataFrame) -> pd.DataFrame:
-    urls: set[str] = set()
-    for s in g["urls"]:
-        urls.update(json.loads(s))
-    return pd.DataFrame({
-        "src": [int(g["src"].iloc[0])],
-        "pred": [g["pred"].iloc[0]],
-        "dst": [int(g["dst"].iloc[0])],
-        "weight": [int(g["weight"].sum())],
-        "urls": [sorted(urls)[:_MAX_URLS]],
-    })
+def _merge_edge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized in-bucket merge: weights by groupby-sum; url sets merged
+    per edge key (keys, not partial rows, bound the Python work)."""
+    keys = ["src", "pred", "dst"]
+    weights = df.groupby(keys, sort=True)["weight"].sum()
+    out = {"src": [], "pred": [], "dst": [], "weight": [], "urls": []}
+    for key, sub in df.groupby(keys, sort=True):
+        urls: set[str] = set()
+        for s in sub["urls"]:
+            urls.update(json.loads(s))
+        out["src"].append(int(key[0]))
+        out["pred"].append(key[1])
+        out["dst"].append(int(key[2]))
+        out["weight"].append(int(weights.loc[key]))
+        out["urls"].append(sorted(urls)[:_MAX_URLS])
+    return pd.DataFrame(out)
 
 
-def materialize_edges(triples_ds, alias_map: dict[int, int] | None = None):
-    """triples Dataset → edges Dataset sorted by (src, pred, dst)."""
+def materialize_edges(triples_ds, alias_map: dict[int, int] | None = None,
+                      num_buckets: int = 32):
+    """triples Dataset → edges Dataset sorted by (src, pred, dst).
+
+    Combiner → bucketized groupby (raykg.stages.shuffle) → global sort; the
+    sort ranges over aggregated edges, never raw triples."""
+    from .shuffle import bucketed_group_apply
+
     partials = triples_ds.map_batches(
         lambda b: partial_edges(b, alias_map), batch_format="pyarrow")
-    edges = partials.groupby(["src", "pred", "dst"]).map_groups(
-        _merge_edge_partials, batch_format="pandas")
+    edges = bucketed_group_apply(partials, ["src", "pred", "dst"],
+                                 _merge_edge_bucket, num_buckets)
     return edges.sort(["src", "pred", "dst"])
 
 

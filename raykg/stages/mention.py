@@ -41,6 +41,7 @@ class MentionExtractor:
         self.backend = SurrogateBackend(self.config)     # weights once per actor
         self.relations = relations or RelationConfig()
         self._compiled = self.relations.compile()        # regexes once per actor
+        self._prefilter = self.relations.prefilter()
 
     # per-document path (shared with the oracle via raykg.core)
     def _mentions(self, text: str) -> list[Mention]:
@@ -68,7 +69,8 @@ class MentionExtractor:
         triple_rows: list[list[dict]] = []
         for text in texts:
             mentions = self._mentions(text)
-            triples = extract_triples(text, mentions, self.relations, self._compiled)
+            triples = extract_triples(text, mentions, self.relations,
+                                      self._compiled, self._prefilter)
             mention_rows.append([
                 {"text": m.text, "label": m.label, "score": m.score,
                  "start": m.start, "end": m.end} for m in mentions])

@@ -1,0 +1,83 @@
+"""Bucketized grouped-apply: the engine's standard shuffle pattern.
+
+``Dataset.groupby(keys).map_groups(fn)`` invokes ``fn`` once per GROUP —
+per-group Python/block-slicing overhead that melts down when groups are tiny
+and numerous (measured: the edge-aggregation groupby spent seconds on a few
+thousand groups; a 100-TB corpus has billions). The scale-correct shape is:
+
+  1. hash the group key into ``num_buckets`` partitions (vectorized,
+     deterministic `pandas.util.hash_pandas_object` with its fixed key),
+  2. ``groupby(bucket).map_groups`` — ONE call per bucket,
+  3. inside the bucket, do the real per-key work with vectorized pandas.
+
+All rows of a logical key land in one bucket (correctness); a bucket holds
+many whole keys (efficiency). Hot-key handling: partial aggregation upstream
+bounds any key's rows to ≤ n_batches, and the in-bucket merge is vectorized,
+so even a key appearing in every batch of a 10^12-row corpus is a plain
+column sum — the salted two-phase variant (raykg.stages.canonicalize) exists
+for the degenerate case where one key's partials alone exceed a worker.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+
+DEFAULT_BUCKETS = 32
+_BUCKET_COL = "__bucket__"
+
+
+def _with_bucket(batch: pd.DataFrame, keys: list[str], num_buckets: int) -> pd.DataFrame:
+    h = pd.util.hash_pandas_object(batch[keys], index=False)
+    batch = batch.copy(deep=False)
+    batch[_BUCKET_COL] = (h % num_buckets).astype("int64")
+    return batch
+
+
+def bucketed_group_apply(ds, keys: list[str],
+                         fn: Callable[[pd.DataFrame], pd.DataFrame],
+                         num_buckets: int = DEFAULT_BUCKETS):
+    """Apply ``fn`` to each hash bucket of whole key-groups.
+
+    ``fn`` receives a pandas DataFrame containing EVERY row of EVERY key in
+    the bucket (no partial keys) and must itself group by ``keys``. The
+    bucket column is stripped before ``fn`` sees the data."""
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=[_BUCKET_COL]))
+
+    return ds.map_batches(lambda b: _with_bucket(b, keys, num_buckets),
+                          batch_format="pandas") \
+        .groupby(_BUCKET_COL).map_groups(apply_bucket, batch_format="pandas")
+
+
+def bucketed_named_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
+                       num_buckets: int = 8):
+    """Grouped aggregation over PRE-AGGREGATED partials via the bucketized
+    pattern. ``spec`` is pandas named-agg form: out_col → (src_col, how).
+
+    Replaces ``Dataset.groupby(...).aggregate(Sum(...))`` — Ray's sort-based
+    Aggregate carried ~8s of fixed overhead on a 100k-row input where this
+    runs in <1s (measured); the in-bucket merge is one vectorized pandas
+    groupby."""
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False).agg(
+            **{out: (src, how) for out, (src, how) in spec.items()})
+
+    return bucketed_group_apply(ds, keys, merge, num_buckets)
+
+
+def first_per_key(ds, keys: list[str], order_by: str, ascending: bool = False,
+                  num_buckets: int = DEFAULT_BUCKETS):
+    """Keep one deterministic winner row per key (e.g. newest by timestamp):
+    vectorized sort + drop_duplicates inside each bucket."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([*keys, order_by],
+                             ascending=[True] * len(keys) + [ascending],
+                             kind="stable").drop_duplicates(keys, keep="first")
+
+    return bucketed_group_apply(ds, keys, pick, num_buckets)

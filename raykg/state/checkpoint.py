@@ -60,13 +60,20 @@ class Manifest:
 def atomic_write_parquet(ds, out_dir: str, **write_kwargs) -> int:
     """Write a Dataset to ``out_dir`` atomically (temp dir + rename).
 
-    Returns the row count (from write metadata, no extra pass)."""
+    Row count is read back from the written parquet FOOTERS — calling
+    ``ds.count()`` would re-execute the whole (lazy) pipeline a second time,
+    which doubled stage cost when this first shipped."""
     tmp = out_dir.rstrip("/") + ".__tmp__"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
     ds.write_parquet(tmp, **write_kwargs)
-    n = ds.count()     # dataset is already executed by the write; count is cached
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            n += pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)
