@@ -71,6 +71,41 @@ def _kg_links(sf_dir: str):
     return _kg(sf_dir)["links"]
 
 
+def _kg_label_report(sf_dir: str):
+    """G1: mentions grouped by label → sorted distinct surface forms
+    (/root/reference/Sources/GLiNERSwift/Diagnostics/EntityReporter.swift:8-38),
+    via the bucketized grouped-apply."""
+    import pandas as pd
+
+    from raykg.stages.shuffle import bucketed_group_apply
+
+    def report(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"label": [], "n_distinct": [], "surfaces": []}
+        for label, g in df.groupby("label", sort=True):
+            distinct = sorted(set(g["text"]))
+            rows["label"].append(label)
+            rows["n_distinct"].append(len(distinct))
+            rows["surfaces"].append(distinct[:50])
+        return pd.DataFrame(rows)
+
+    return bucketed_group_apply(_kg_mentions(sf_dir), ["label"], report,
+                                num_buckets=4).sort("label")
+
+
+def _schema_extract(sf_dir: str):
+    """Distributed multi-task GLiNER2.extract over the page corpus."""
+    from raykg.config import Schema
+    from raykg.stages.extract import extract_docs
+    from raykg.stages.extract_task import schema_extract
+
+    schema = (Schema().entities(["person", "organization"], dtype="list")
+                      .classification("topic", ["business", "travel", "research"])
+                      .structure("card").field("who", description="person")
+                      .done())
+    docs = pages_dataset(sf_dir).map_batches(extract_docs, batch_format="pyarrow")
+    return schema_extract(docs, schema, concurrency=4).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # knowledge-graph construction (flagship)
@@ -79,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_links": _kg_links,
+        "kg_label_report": _kg_label_report,
+        "schema_extract": _schema_extract,
         # relational operator layer (TPC-H-ish)
         "lineitem_agg": relational.q_lineitem_agg,
         "mktsegment_orders": relational.q_mktsegment_orders,
