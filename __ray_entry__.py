@@ -52,11 +52,11 @@ def entry() -> Any:
 # -- KG pipeline queries (non-SQL; pytest parity gates cover correctness) ---
 
 def _kg_mentions(sf_dir: str):
-    return _extracts(sf_dir).map_batches(explode_mentions, batch_format="pyarrow")
+    return _extracts(sf_dir).map_batches(explode_mentions, batch_format="pyarrow", batch_size=None)
 
 
 def _kg_triples(sf_dir: str):
-    return _extracts(sf_dir).map_batches(explode_triples, batch_format="pyarrow")
+    return _extracts(sf_dir).map_batches(explode_triples, batch_format="pyarrow", batch_size=None)
 
 
 def _kg_nodes(sf_dir: str):
@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": textstats.q_quality,
         "content_hash": textstats.q_content_hash,
         "langid": textstats.q_langid,
+        "fingerprint": textstats.q_fingerprint,
         # deduplication
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,

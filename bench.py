@@ -140,14 +140,22 @@ def run_scaling() -> dict:
     shuffle scheduling, output commit — identical at both widths) doesn't
     mask it; at the target 100 TB these overheads are noise by construction."""
     scaling_repeat = int(os.environ.get("GRAFT_SCALING_REPEAT", "64"))
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_BENCH_REPEAT=str(scaling_repeat))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-N: single-run wall times on this host vary up to ±40% on
+        # identical input (shared-VM noise); min is the standard estimator
+        # of the machine's capability at each width
+        results = [run_once(ncpu) for _ in range(rounds)]
+        return min(results, key=lambda r: r["value"])
 
     lo, hi = 8, 32
     r_lo = run(lo)

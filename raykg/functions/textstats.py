@@ -208,3 +208,81 @@ def q_langid(sf_dir: str):
                            columns=["doc_id", "text", "lang"]) \
         .map_batches(LangId, batch_format="pyarrow", batch_size=4096,
                      concurrency=2).sort("doc_id")
+
+
+# -- rolling-hash fingerprint (winnowing) -----------------------------------
+
+_FP_K = 8          # char k-gram size
+_FP_WINDOW = 16    # winnowing window
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+
+
+def winnow_fingerprints(text: str) -> list[int]:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — public algorithm): rolling polynomial hash over char k-grams;
+    keep the minimum hash of each sliding window (rightmost on ties), dedup
+    consecutive picks. Robust to local edits; the standard copy-detection
+    primitive."""
+    import numpy as np
+
+    s = text.lower().encode("utf-8")
+    n = len(s)
+    if n < _FP_K:
+        return [int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(),
+                               "big") % _FP_MOD] if n else []
+    # vectorized rolling hash: h[i] = sum(s[i+j] * BASE^(K-1-j)) mod MOD
+    arr = np.frombuffer(s, dtype=np.uint8).astype(object)
+    weights = [pow(_FP_BASE, _FP_K - 1 - j, _FP_MOD) for j in range(_FP_K)]
+    n_grams = n - _FP_K + 1
+    hashes = np.zeros(n_grams, dtype=object)
+    for j, w in enumerate(weights):
+        hashes += arr[j:j + n_grams] * w
+    hashes = np.mod(hashes, _FP_MOD).astype(np.uint64)
+    if n_grams <= _FP_WINDOW:
+        return [int(hashes.min())]
+    # sliding-window minima (rightmost min per window)
+    out: list[int] = []
+    last = -1
+    from collections import deque
+
+    dq: "deque[int]" = deque()
+    for i in range(n_grams):
+        while dq and hashes[dq[-1]] >= hashes[i]:
+            dq.pop()
+        dq.append(i)
+        start = i - _FP_WINDOW + 1
+        if dq[0] < start:
+            dq.popleft()
+        if start >= 0 and dq[0] != last:
+            last = dq[0]
+            out.append(int(hashes[last]))
+    return out
+
+
+def q_fingerprint(sf_dir: str):
+    """Per-doc winnowing fingerprint summary: count + min + a stable 64-bit
+    digest of the fingerprint set (deterministic; rows-only driver check)."""
+    import ray.data as rd
+
+    def fp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        digests, counts, mins = [], [], []
+        for t in b.column("text").to_pylist():
+            fps = winnow_fingerprints(t)
+            counts.append(len(fps))
+            mins.append(min(fps) if fps else 0)
+            digests.append(int.from_bytes(
+                hashlib.blake2b(",".join(map(str, sorted(set(fps))))
+                                .encode(), digest_size=8).digest(), "big")
+                >> 1)
+        return pa.table({
+            "doc_id": ids,
+            "n_fingerprints": pa.array(counts, pa.int64()),
+            "min_fingerprint": pa.array(mins, pa.int64()),
+            "fp_digest": pa.array(digests, pa.int64()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(fp, batch_format="pyarrow", batch_size=4096).sort("doc_id")

@@ -46,19 +46,20 @@ def partial_canonical(batch: pa.Table, salts: int = DEFAULT_SALTS) -> pa.Table:
     labels = batch.column("label").to_pylist()
     from ..core.canonical import surface_key
 
+    df = pd.DataFrame({"text": surfaces, "label": labels})
+    norm_map = {s: surface_key(s)[0] for s in pd.unique(df["text"])}
+    df["norm"] = df["text"].map(norm_map)
+    df = df[df["norm"] != ""]
     acc: dict[str, tuple[int, dict, set]] = {}
-    for s, l in zip(surfaces, labels):
-        norm = surface_key(s)[0]
-        if not norm:
-            continue
-        got = acc.get(norm)
-        if got is None:
-            acc[norm] = got = (0, {}, set())
-        cnt, lc, al = got
-        lc[l] = lc.get(l, 0) + 1
+    # per-DISTINCT-key python: counts via vectorized groupbys
+    for norm, cnt in df.groupby("norm").size().items():
+        acc[norm] = (int(cnt), {}, set())
+    for (norm, label), cnt in df.groupby(["norm", "label"]).size().items():
+        acc[norm][1][label] = int(cnt)
+    for norm, text in df[["norm", "text"]].drop_duplicates().itertuples(index=False):
+        al = acc[norm][2]
         if len(al) < _MAX_ALIASES:
-            al.add(s)
-        acc[norm] = (cnt + 1, lc, al)
+            al.add(text)
     norms = sorted(acc)
     first = surfaces[0] if surfaces else ""
     return pa.table({
@@ -123,8 +124,11 @@ def canonicalize(mentions_ds, salts: int = DEFAULT_SALTS, num_buckets: int = 32)
     vectorized pandas call per hash bucket, never one call per key."""
     from .shuffle import bucketed_group_apply
 
+    # batch_size=None → whole-block combining (small batches barely combine
+    # and multiply the shuffle's partial-row count)
     partials = mentions_ds.map_batches(
-        lambda b: partial_canonical(b, salts), batch_format="pyarrow")
+        lambda b: partial_canonical(b, salts), batch_format="pyarrow",
+        batch_size=None)
 
     def merge_salted(df: pd.DataFrame) -> pd.DataFrame:
         return _merge_rows(["norm", "salt"], df.groupby(["norm", "salt"],

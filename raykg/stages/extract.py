@@ -27,19 +27,24 @@ def extract_docs(batch: pa.Table) -> pa.Table:
     """pages → docs: re-derive text from html via the FROZEN extractor
     (byte-identity invariant), add doc_id + n_words, drop html.
 
-    The pipeline intentionally ignores the producer-supplied `text` column
-    and recomputes it — the invariant is that they agree per url, asserted
-    by tests, not assumed by the engine."""
+    ``warc_ts`` is carried through (when present) so input dedup can run
+    AFTER extraction, where rows are doc-level results instead of multi-MB
+    html payloads. The pipeline intentionally ignores the producer-supplied
+    `text` column and recomputes it — the invariant is that they agree per
+    url, asserted by tests, not assumed by the engine."""
     html_col = batch.column("html")
     texts = [extract_text(v) for v in html_col.to_pylist()]
     urls = batch.column("url").to_pylist()
-    return pa.table({
+    cols = {
         "doc_id": pa.array([doc_id_of(u) for u in urls], pa.int64()),
         "url": batch.column("url"),
         "lang": batch.column("lang"),
         "text": pa.array(texts, pa.string()),
         "n_words": pa.array([word_count(t) for t in texts], pa.int32()),
-    })
+    }
+    if "warc_ts" in batch.schema.names:
+        cols["warc_ts"] = batch.column("warc_ts")
+    return pa.table(cols)
 
 
 def dedup_pages(pages_ds, num_buckets: int = 32):
@@ -52,7 +57,12 @@ def dedup_pages(pages_ds, num_buckets: int = 32):
     in-bucket sort+drop_duplicates (raykg.stages.shuffle), not per-url
     map_groups. An alternative that avoids moving html — aggregate
     (url → max ts) small-side then semi-join — trades the shuffle for a
-    broadcast that cannot hold 10^12 urls; rejected."""
+    broadcast that cannot hold 10^12 urls; rejected.
+
+    NOTE: the KG pipeline itself dedups AFTER extraction
+    (raykg.pipelines.kg.extract_stage uses first_per_key_arrow on the
+    doc-extract rows) so html never crosses the object store; this
+    pre-extraction variant remains for callers that need raw-page dedup."""
     from .shuffle import first_per_key
 
     return first_per_key(pages_ds, ["url"], "warc_ts", ascending=False,

@@ -6,89 +6,78 @@ node id is a PURE FUNCTION — no join, no shuffle, no broadcast dictionary
 (SURVEY.md §7.3 contemplated a hash join / broadcast; content addressing
 eliminates it). The only wide ops here are:
 
-- edge aggregation: in-batch combiner on (src, pred, dst) → groupby over
-  partials (same two-phase shape as canonicalization), and
-- the final ``sort`` on (src, pred, dst) — a global range shuffle, last.
+- edge aggregation: in-batch combiner on (src, pred, dst) over WHOLE blocks
+  (``batch_size=None`` — small batches barely combine and were measured to
+  push 15M partial rows into the shuffle), then a bucketized merge
+  (raykg.stages.shuffle), and
+- the final ``sort`` on (src, pred, dst) — a global range shuffle over
+  aggregated edges only, never raw triples.
+
+Edge url provenance is a bounded SAMPLE (≤ _MAX_URLS): each combiner emits
+one representative url per edge per block; the merge unions and caps. An
+exhaustive url list would make hot edges (head-of-Zipf entity pairs) into
+unbounded rows — a deliberate scale tradeoff, documented in the schema.
 """
 
 from __future__ import annotations
 
-import json
-
 import pandas as pd
 import pyarrow as pa
-
-from ..core.canonical import node_id, normalize_surface
-from ..schemas import EDGES
 
 _MAX_URLS = 8
 
 
-def partial_edges(batch: pa.Table, alias_map: dict[int, int] | None = None) -> pa.Table:
-    """Combiner: triple rows → partial (src, pred, dst, weight, urls) rows.
-
-    The surface→node_id map is pure; ``alias_map`` (root rewrites from alias
-    merging, broadcast once via ray.put) is applied here so edges aggregate
-    onto merged nodes."""
-    am = alias_map or {}
-    subs = batch.column("subj").to_pylist()
-    preds = batch.column("pred").to_pylist()
-    objs = batch.column("obj").to_pylist()
-    urls = batch.column("url").to_pylist()
+def partial_edges(batch: pa.Table, alias_map: dict[int, int] | None = None) -> pd.DataFrame:
+    """Combiner: triple rows → partial (src, pred, dst, weight, url_sample)
+    rows — one per distinct edge per block, fully vectorized except the
+    distinct-surface id map (Zipf ⇒ few distinct per block)."""
     from ..core.canonical import surface_key
 
-    acc: dict[tuple[int, str, int], tuple[int, set]] = {}
-    for s, p, o, u in zip(subs, preds, objs, urls):
-        sid = surface_key(s)[1]
-        oid = surface_key(o)[1]
-        sid = am.get(sid, sid)
-        oid = am.get(oid, oid)
-        key = (sid, p, oid)
-        got = acc.get(key)
-        if got is None:
-            acc[key] = got = (0, set())
-        w, us = got
-        if len(us) < _MAX_URLS:
-            us.add(u)
-        acc[key] = (w + 1, us)
-    keys = sorted(acc)
-    return pa.table({
-        "src": pa.array([k[0] for k in keys], pa.int64()),
-        "pred": pa.array([k[1] for k in keys], pa.string()),
-        "dst": pa.array([k[2] for k in keys], pa.int64()),
-        "weight": pa.array([acc[k][0] for k in keys], pa.int64()),
-        "urls": pa.array([json.dumps(sorted(acc[k][1])) for k in keys], pa.string()),
+    am = alias_map or {}
+    df = pd.DataFrame({
+        "subj": batch.column("subj").to_pylist(),
+        "pred": batch.column("pred").to_pylist(),
+        "obj": batch.column("obj").to_pylist(),
+        "url": batch.column("url").to_pylist(),
     })
+    uniq = pd.unique(pd.concat([df["subj"], df["obj"]], ignore_index=True))
+    idmap = {}
+    for s in uniq:
+        nid = surface_key(s)[1]
+        idmap[s] = am.get(nid, nid)
+    df["src"] = df["subj"].map(idmap).astype("int64")
+    df["dst"] = df["obj"].map(idmap).astype("int64")
+    keys = ["src", "pred", "dst"]
+    agg = df.groupby(keys, sort=False, as_index=False).agg(
+        weight=("url", "size"), url_sample=("url", "first"))
+    agg["weight"] = agg["weight"].astype("int64")
+    return agg
 
 
 def _merge_edge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized in-bucket merge: weights by groupby-sum; url sets merged
-    per edge key (keys, not partial rows, bound the Python work)."""
+    """Vectorized in-bucket merge: weight by groupby-sum; url sample = up to
+    _MAX_URLS distinct urls per edge via drop_duplicates + cumcount (the
+    only per-key Python is the final tiny list agg)."""
     keys = ["src", "pred", "dst"]
-    weights = df.groupby(keys, sort=True)["weight"].sum()
-    out = {"src": [], "pred": [], "dst": [], "weight": [], "urls": []}
-    for key, sub in df.groupby(keys, sort=True):
-        urls: set[str] = set()
-        for s in sub["urls"]:
-            urls.update(json.loads(s))
-        out["src"].append(int(key[0]))
-        out["pred"].append(key[1])
-        out["dst"].append(int(key[2]))
-        out["weight"].append(int(weights.loc[key]))
-        out["urls"].append(sorted(urls)[:_MAX_URLS])
-    return pd.DataFrame(out)
+    weights = df.groupby(keys, sort=False, as_index=False)["weight"].sum()
+    u = df[keys + ["url_sample"]].drop_duplicates()
+    u = u.sort_values(keys + ["url_sample"], kind="stable")
+    u = u[u.groupby(keys).cumcount() < _MAX_URLS]
+    urls = u.groupby(keys, sort=False)["url_sample"].agg(list).rename("urls") \
+        .reset_index()
+    out = weights.merge(urls, on=keys, how="left")
+    out["weight"] = out["weight"].astype("int64")
+    return out[["src", "pred", "dst", "weight", "urls"]]
 
 
 def materialize_edges(triples_ds, alias_map: dict[int, int] | None = None,
                       num_buckets: int = 32):
-    """triples Dataset → edges Dataset sorted by (src, pred, dst).
-
-    Combiner → bucketized groupby (raykg.stages.shuffle) → global sort; the
-    sort ranges over aggregated edges, never raw triples."""
+    """triples Dataset → edges Dataset sorted by (src, pred, dst)."""
     from .shuffle import bucketed_group_apply
 
     partials = triples_ds.map_batches(
-        lambda b: partial_edges(b, alias_map), batch_format="pyarrow")
+        lambda b: partial_edges(b, alias_map), batch_format="pyarrow",
+        batch_size=None)
     edges = bucketed_group_apply(partials, ["src", "pred", "dst"],
                                  _merge_edge_bucket, num_buckets)
     return edges.sort(["src", "pred", "dst"])

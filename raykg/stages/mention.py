@@ -78,50 +78,56 @@ class MentionExtractor:
                 {"subj": t.subj, "pred": t.pred, "obj": t.obj,
                  "subj_label": t.subj_label, "obj_label": t.obj_label,
                  "score": t.score, "sent_start": t.sent_start} for t in triples])
-        return pa.table({
+        cols = {
             "doc_id": batch.column("doc_id"),
             "url": batch.column("url"),
             "lang": batch.column("lang"),
             "n_words": batch.column("n_words"),
             "mentions": pa.array(mention_rows, DOC_EXTRACTS.field("mentions").type),
             "triples": pa.array(triple_rows, DOC_EXTRACTS.field("triples").type),
-        })
+        }
+        if "warc_ts" in batch.schema.names:   # passthrough for post-extract dedup
+            cols["warc_ts"] = batch.column("warc_ts")
+        return pa.table(cols)
+
+
+def _explode(batch: pa.Table, list_col: str, fields: list[str],
+             schema: pa.Schema) -> pa.Table:
+    """Vectorized nested-list explode: pyarrow list_flatten +
+    list_parent_indices (zero Python per row — the Python-loop version cost
+    tens of CPU-seconds at bench scale)."""
+    import pyarrow.compute as pc
+
+    col = batch.column(list_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col)
+    parents = pc.list_parent_indices(col)
+    cols = {
+        "doc_id": pc.take(batch.column("doc_id").combine_chunks()
+                          if isinstance(batch.column("doc_id"), pa.ChunkedArray)
+                          else batch.column("doc_id"), parents),
+        "url": pc.take(batch.column("url").combine_chunks()
+                       if isinstance(batch.column("url"), pa.ChunkedArray)
+                       else batch.column("url"), parents),
+    }
+    for f in fields:
+        cols[f] = pc.struct_field(flat, f)
+    return pa.table(cols, schema=schema)
 
 
 def explode_mentions(batch: pa.Table) -> pa.Table:
     """doc-extract rows → flat mention rows (stateless, no shuffle)."""
-    out = {"doc_id": [], "url": [], "text": [], "label": [], "score": [],
-           "start": [], "end": []}
-    doc_ids = batch.column("doc_id").to_pylist()
-    urls = batch.column("url").to_pylist()
-    for did, url, ms in zip(doc_ids, urls, batch.column("mentions").to_pylist()):
-        for m in ms:
-            out["doc_id"].append(did)
-            out["url"].append(url)
-            out["text"].append(m["text"])
-            out["label"].append(m["label"])
-            out["score"].append(m["score"])
-            out["start"].append(m["start"])
-            out["end"].append(m["end"])
     from ..schemas import MENTIONS
-    return pa.table(out, schema=MENTIONS)
+
+    return _explode(batch, "mentions",
+                    ["text", "label", "score", "start", "end"], MENTIONS)
 
 
 def explode_triples(batch: pa.Table) -> pa.Table:
     """doc-extract rows → flat triple rows (stateless, no shuffle)."""
-    out = {"doc_id": [], "url": [], "subj": [], "pred": [], "obj": [],
-           "subj_label": [], "obj_label": [], "score": []}
-    doc_ids = batch.column("doc_id").to_pylist()
-    urls = batch.column("url").to_pylist()
-    for did, url, ts in zip(doc_ids, urls, batch.column("triples").to_pylist()):
-        for t in ts:
-            out["doc_id"].append(did)
-            out["url"].append(url)
-            out["subj"].append(t["subj"])
-            out["pred"].append(t["pred"])
-            out["obj"].append(t["obj"])
-            out["subj_label"].append(t["subj_label"])
-            out["obj_label"].append(t["obj_label"])
-            out["score"].append(t["score"])
     from ..schemas import TRIPLES
-    return pa.table(out, schema=TRIPLES)
+
+    return _explode(batch, "triples",
+                    ["subj", "pred", "obj", "subj_label", "obj_label", "score"],
+                    TRIPLES)

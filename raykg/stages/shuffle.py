@@ -81,3 +81,47 @@ def first_per_key(ds, keys: list[str], order_by: str, ascending: bool = False,
                              kind="stable").drop_duplicates(keys, keep="first")
 
     return bucketed_group_apply(ds, keys, pick, num_buckets)
+
+
+def _h64s(s: str) -> int:
+    from hashlib import blake2b
+
+    return int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def first_per_key_arrow(ds, key: str, order_by: str, ascending: bool = False,
+                        num_buckets: int = DEFAULT_BUCKETS):
+    """Arrow-native variant of ``first_per_key`` for tables with NESTED
+    columns (list<struct> does not survive a pandas round-trip): winner rows
+    are selected by index (`Table.take`), the payload columns never convert.
+    Bucket = content hash of the key, so results are layout-independent."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        vals = b.column(key).to_pylist()
+        return b.append_column(
+            _BUCKET_COL,
+            pa.array([_h64s(str(v)) % num_buckets for v in vals], pa.int64()))
+
+    def pick(g: pa.Table) -> pa.Table:
+        kcol = g.column(key).to_pylist()
+        ocol = g.column(order_by).to_pylist()
+        n = len(kcol)
+        order = sorted(range(n),
+                       key=lambda i: (kcol[i], ocol[i]) if ascending
+                       else (kcol[i],), reverse=False)
+        if not ascending:
+            # stable two-pass: sort by order_by desc within key
+            order = sorted(range(n), key=lambda i: ocol[i], reverse=True)
+            order = sorted(order, key=lambda i: kcol[i])
+        seen: set = set()
+        keep = []
+        for i in order:
+            if kcol[i] not in seen:
+                seen.add(kcol[i])
+                keep.append(i)
+        keep.sort()
+        out = g.take(pa.array(keep, pa.int64()))
+        return out.drop_columns([_BUCKET_COL])
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby(_BUCKET_COL).map_groups(pick, batch_format="pyarrow")

@@ -149,6 +149,25 @@ def test_media_meta_and_stubs(ray_session):
     assert synth_payload(5) == synth_payload(5)
 
 
+def test_winnowing_fingerprints():
+    from raykg.functions.textstats import winnow_fingerprints
+
+    t = "the quick brown fox jumps over the lazy dog " * 10
+    a = winnow_fingerprints(t)
+    assert a == winnow_fingerprints(t)           # deterministic
+    assert len(a) > 5
+    # local-edit robustness: one word changed → most fingerprints shared
+    edited = t.replace("lazy", "hazy", 1)
+    b = set(winnow_fingerprints(edited))
+    overlap = len(set(a) & b) / len(set(a))
+    assert overlap > 0.7, overlap
+    # unrelated text → little overlap
+    c = set(winnow_fingerprints("completely different content here " * 10))
+    assert len(set(a) & c) / len(set(a)) < 0.2
+    assert winnow_fingerprints("") == []
+    assert len(winnow_fingerprints("ab")) == 1
+
+
 def test_langid_deterministic(ray_session):
     from raykg.functions.textstats import LangId
 

@@ -1,0 +1,88 @@
+"""Entity-linker tests: brute-force vs LSH-bucketed lookup paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from raykg.core.canonical import node_id
+    from raykg.stages.link import build_catalog
+
+    import ray.data as rd
+
+    surfaces = ["helios dynamics", "northwind systems", "amelia reed",
+                "seattle", "vertex labs", "tokyo", "maria chen",
+                "atlas industries", "quantum labs", "berlin"]
+    nodes = rd.from_pandas(pd.DataFrame({
+        "node_id": [node_id(s) for s in surfaces],
+        "canonical": surfaces,
+        "label": ["organization"] * 10,
+        "aliases": [[s] for s in surfaces],
+        "mention_count": [1] * 10,
+    }))
+    return build_catalog(nodes), surfaces
+
+
+def _link(catalog, queries, use_lsh):
+    import pyarrow as pa
+
+    from raykg.stages.link import LinkerActor
+
+    actor = LinkerActor(catalog, use_lsh=use_lsh)
+    batch = pa.table({
+        "doc_id": pa.array(range(len(queries)), pa.int64()),
+        "url": pa.array(["u"] * len(queries), pa.string()),
+        "text": pa.array(queries, pa.string()),
+        "label": pa.array(["x"] * len(queries), pa.string()),
+        "score": pa.array([1.0] * len(queries), pa.float32()),
+        "start": pa.array([0] * len(queries), pa.int64()),
+        "end": pa.array([1] * len(queries), pa.int64()),
+    })
+    out = actor(batch)
+    return list(zip(out.column("entity_id").to_pylist(),
+                    out.column("link_score").to_pylist()))
+
+
+def test_linker_exact_and_fuzzy(ray_session, catalog):
+    from raykg.core.canonical import node_id
+
+    cat, surfaces = catalog
+    # exact surfaces link to their own node with cosine 1
+    got = _link(cat, ["Helios Dynamics", "Seattle"], use_lsh=False)
+    assert got[0][0] == node_id("helios dynamics") and got[0][1] > 0.999
+    assert got[1][0] == node_id("seattle") and got[1][1] > 0.999
+    # fuzzy variant links to the nearest catalog entry
+    got = _link(cat, ["Helios Dynamcs"], use_lsh=False)   # typo
+    assert got[0][0] == node_id("helios dynamics")
+    assert 0.6 < got[0][1] < 1.0
+
+
+def test_linker_lsh_matches_bruteforce_on_exact(ray_session, catalog):
+    cat, surfaces = catalog
+    queries = [s.title() for s in surfaces]
+    brute = _link(cat, queries, use_lsh=False)
+    lsh = _link(cat, queries, use_lsh=True)
+    # exact-surface queries: LSH multi-probe must find the identical node
+    assert [b[0] for b in brute] == [l[0] for l in lsh]
+    assert all(abs(b[1] - l[1]) < 1e-6 for b, l in zip(brute, lsh))
+
+
+def test_linker_empty_catalog(ray_session):
+    import ray.data as rd
+
+    from raykg.stages.link import build_catalog
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "node_id": pd.Series([], dtype="int64"),
+        "canonical": pd.Series([], dtype="string"),
+        "label": pd.Series([], dtype="string"),
+        "aliases": pd.Series([], dtype="object"),
+        "mention_count": pd.Series([], dtype="int64"),
+    }))
+    cat = build_catalog(empty)
+    got = _link(cat, ["anything"], use_lsh=False)
+    assert got[0][0] == -1 and got[0][1] == 0.0
