@@ -121,8 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mktsegment_orders": relational.q_mktsegment_orders,
         "orders_monthly": relational.q_orders_monthly,
         "top_parts": relational.q_top_parts,
+        "customers_without_orders": relational.q_customers_without_orders,
         # stream-shaped windows
         "events_hourly": windows.q_events_hourly,
+        "events_sliding": windows.q_events_sliding,
         "sessions": windows.q_sessions,
         # text analysis
         "doc_stats": textstats.q_doc_stats,
@@ -151,7 +153,9 @@ def oracle_sql() -> dict[str, str]:
         "mktsegment_orders": relational.SQL_MKTSEGMENT_ORDERS,
         "orders_monthly": relational.SQL_ORDERS_MONTHLY,
         "top_parts": relational.SQL_TOP_PARTS,
+        "customers_without_orders": relational.SQL_CUSTOMERS_WITHOUT_ORDERS,
         "events_hourly": windows.SQL_EVENTS_HOURLY,
+        "events_sliding": windows.SQL_EVENTS_SLIDING,
         "sessions": windows.SQL_SESSIONS,
         "doc_stats": textstats.SQL_DOC_STATS,
         "lang_dist": textstats.SQL_LANG_DIST,

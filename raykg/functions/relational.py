@@ -167,6 +167,46 @@ def q_top_parts(sf_dir: str):
     return top.repartition(1).map_batches(rank, batch_format="pyarrow")
 
 
+BIG_ORDER_E2 = 300000
+
+def q_customers_without_orders(sf_dir: str):
+    """ANTI-JOIN via broadcast key set: customers with no high-value order
+    (o_totalprice > 300000). The key set (custkeys with such an order) is
+    the small side — broadcast once, filtered inside map_batches; no shuffle
+    of either table (ray_guide semi/anti pattern). At 10^12 scale the key
+    set becomes a Bloom filter with a verification pass; same shape."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(pc.greater(orders.column("o_totalprice"),
+                                   float(BIG_ORDER_E2)))
+    keys = set(big.column("o_custkey").to_pylist())
+    keys_ref = ray.put(keys)
+
+    def anti(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([c not in ks for c in b.column("c_custkey").to_pylist()])
+        return b.filter(mask)
+
+    return rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(anti, batch_format="pyarrow", batch_size=None) \
+        .sort("c_custkey")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+
+
 SQL_TOP_PARTS = """
 SELECT l_partkey, rev_e4, CAST(row_number() OVER (ORDER BY rev_e4 DESC, l_partkey) AS BIGINT) AS rank
 FROM (

@@ -83,6 +83,57 @@ def q_sessions(sf_dir: str):
     return bucketed_group_apply(ev, ["user_id"], sessionize_bucket).sort("user_id")
 
 
+def q_events_sliding(sf_dir: str):
+    """SLIDING window: 1-hour windows advancing every 30 minutes. Each event
+    belongs to exactly two windows; the map stage emits one row per
+    (event, window) — the standard replicate-then-tumble reduction of
+    sliding windows to grouped aggregation (no ordering requirement)."""
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_named_agg
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ts = b.column("ts").to_pandas()
+        epoch = (ts.astype("int64") // 10**6).to_numpy()      # seconds
+        v = np.round(b.column("value").to_numpy() * 1e6).astype(np.int64)
+        et = b.column("event_type").to_pandas().to_numpy()
+        w0 = (epoch // 1800) * 1800          # the step boundary at/just before ts
+        rows = []
+        for shift in (0, 1800):              # window starting at w0 and w0-1800
+            start = w0 - shift
+            rows.append(pd.DataFrame({"event_type": et, "win_start": start,
+                                      "value_e6": v}))
+        df = pd.concat(rows, ignore_index=True)
+        return df.groupby(["event_type", "win_start"], as_index=False).agg(
+            n=("value_e6", "size"), value_e6=("value_e6", "sum"))
+
+    partials = rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return bucketed_named_agg(partials, ["event_type", "win_start"],
+                              {"n": ("n", "sum"),
+                               "value_e6": ("value_e6", "sum")}) \
+        .sort(["event_type", "win_start"])
+
+
+SQL_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS w0,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v
+  FROM events
+), expanded AS (
+  SELECT event_type, w0 AS win_start, v FROM e
+  UNION ALL
+  SELECT event_type, w0 - 1800 AS win_start, v FROM e
+)
+SELECT event_type, win_start, COUNT(*) AS n,
+       CAST(SUM(v) AS BIGINT) AS value_e6
+FROM expanded
+GROUP BY event_type, win_start
+ORDER BY event_type, win_start
+"""
+
+
 SQL_SESSIONS = """
 WITH marked AS (
   SELECT user_id, ts,

@@ -48,6 +48,26 @@ def read_benchmark_jsonl(path: str):
     return ds
 
 
+def load_text_file_samples(path: str, max_chars: int = 3072,
+                           overlap_chars: int = 768, max_words: int = 248):
+    """Operator S2: text-file → chunked benchmark samples. Mirrors the
+    reference loader (BenchmarkCLI.swift:366-395): CRLF → LF, trim, split
+    into overlapping chunks, one sample per chunk."""
+    from ..core.chunk import chunk_text
+
+    with open(path, encoding="utf-8") as f:
+        text = f.read().replace("\r\n", "\n").strip()
+    chunks = chunk_text(text, max_chars, overlap_chars, max_words) if text else []
+    import ray.data as rd
+
+    base = os.path.splitext(os.path.basename(path))[0]
+    return rd.from_items([
+        {"id": f"{base}_{i:03d}", "text": ch.text,
+         "labels": list(KG_LABELS), "threshold": 0.3}
+        for i, ch in enumerate(chunks)
+    ])
+
+
 def write_benchmark_jsonl(path: str, n: int = 50, seed: int = 42) -> str:
     """Synthesize a benchmark corpus in the reference JSONL shape from the
     deterministic page generator (body text only, no HTML)."""

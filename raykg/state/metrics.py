@@ -27,6 +27,28 @@ def percentile(sorted_vals: list[float], p: float) -> float:
     return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
 
 
+def benchmark_stats(latencies_ms: list[float], total_chars: int = 0,
+                    entities: int = 0, wall_s: float | None = None) -> dict:
+    """G2: the reference's benchmark-statistics aggregate
+    (BenchmarkCLI.swift:661-748): avg / median / p95 (linear-interp) / min /
+    max latency in ms, chars/sec, requests/sec, entities extracted."""
+    xs = sorted(latencies_ms)
+    n = len(xs)
+    total = sum(xs)
+    wall = wall_s if wall_s is not None else total / 1000.0
+    return {
+        "samples": n,
+        "avg_ms": round(total / n, 3) if n else 0.0,
+        "median_ms": round(percentile(xs, 0.5), 3),
+        "p95_ms": round(percentile(xs, 0.95), 3),
+        "min_ms": round(xs[0], 3) if n else 0.0,
+        "max_ms": round(xs[-1], 3) if n else 0.0,
+        "chars_per_sec": round(total_chars / wall, 2) if wall > 0 else 0.0,
+        "requests_per_sec": round(n / wall, 2) if wall > 0 else 0.0,
+        "entities_extracted": entities,
+    }
+
+
 @dataclass
 class RunMetrics:
     stages: dict[str, dict] = field(default_factory=dict)

@@ -124,6 +124,31 @@ def test_schema_extract_stage(ray_session):
     assert ents == json.loads(json.dumps(ref["entities"]))
 
 
+def test_benchmark_stats_aggregate():
+    from raykg.state.metrics import benchmark_stats
+
+    s = benchmark_stats([10.0, 20.0, 30.0, 40.0], total_chars=1000,
+                        entities=7, wall_s=0.1)
+    assert s["samples"] == 4 and s["avg_ms"] == 25.0
+    assert s["median_ms"] == 25.0            # linear interp between 20 and 30
+    assert s["min_ms"] == 10.0 and s["max_ms"] == 40.0
+    assert s["p95_ms"] == 38.5               # 0.95*(n-1)=2.85 → 30+0.85*10
+    assert s["chars_per_sec"] == 10000.0 and s["requests_per_sec"] == 40.0
+    assert benchmark_stats([])["samples"] == 0
+
+
+def test_text_file_source(ray_session, tmp_path):
+    from raykg.sources.fixtures import load_text_file_samples
+
+    p = tmp_path / "doc.txt"
+    p.write_text("word " * 600 + "\r\nlast line")
+    ds = load_text_file_samples(str(p))
+    rows = ds.to_pandas()
+    assert len(rows) >= 2                    # chunked
+    assert rows["id"].iloc[0] == "doc_000"
+    assert "\r" not in rows["text"].iloc[0]
+
+
 def test_jsonl_source_roundtrip(ray_session, tmp_path):
     from raykg.sources.fixtures import read_benchmark_jsonl, write_benchmark_jsonl
 
