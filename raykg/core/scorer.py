@@ -173,16 +173,62 @@ class SurrogateBackend:
         return self.config.max_count
 
     # -- D1: span-score builder ------------------------------------------
-    def span_scores(self, enc: SchemaEncoding) -> tuple[np.ndarray, SchemaEncoding]:
-        """Full per-document forward pass → logits (n_spans, n_labels)."""
+    _NOISE_CLIP = 2.5     # hash-noise term clipped to ±2.5 → a span with no
+                          # capitalized word has logit ≤ -4 + 2.5 = -1.5,
+                          # i.e. sigmoid ≤ 0.18: provably below any
+                          # threshold ≥ 0.2, enabling the prefilter below
+
+    def span_scores(self, enc: SchemaEncoding,
+                    threshold: float | None = None) -> tuple[np.ndarray, SchemaEncoding]:
+        """Full per-document forward pass → logits (n_spans, n_labels).
+
+        When ``threshold ≥ 0.2`` the candidate set is PRE-FILTERED to spans
+        containing at least one capitalized word: with the clipped noise
+        term, zero-cap spans are mathematically incapable of reaching the
+        threshold, so skipping their embeddings changes nothing in the
+        decoded output while cutting the span-embedding work to the
+        capitalized fraction. (Both the engine and the oracle run this exact
+        code, so the equivalence is also enforced by the parity gates.)"""
         hidden = self.encode(enc.input_ids)
         word_embs, prompt_embs = self.project(enc, hidden)
+        n_labels = len(enc.entity_labels)
         if self.predict_count(prompt_embs, len(enc.words)) == 0:
-            return np.empty((0, len(enc.entity_labels))), enc
-        span_embs = self.span_embeddings(enc, word_embs)
+            return np.empty((0, n_labels)), enc
+        n_spans = len(enc.span_starts)
         labels = np.stack([self.label_embedding(l) for l in enc.entity_labels])
-        logits = span_embs @ labels.T            # D1: plain dot product
+
+        keep = None
+        if threshold is not None and threshold >= 0.2 and n_spans:
+            wf = self._word_feats(enc.words)[:, 0]
+            cap_cum = np.concatenate([[0.0], np.cumsum(wf)])
+            ss, ww = enc.span_starts, enc.span_widths
+            keep = (cap_cum[ss + ww + 1] - cap_cum[ss]) > 0
+            if not keep.any():
+                return np.full((n_spans, n_labels), -10.0), enc
+
+        if keep is None:
+            span_embs = self.span_embeddings(enc, word_embs)
+            logits = self._dot_clipped(span_embs, labels)   # D1 dot (noise clipped)
+        else:
+            sub = SchemaEncoding(
+                input_ids=enc.input_ids, prompt_ranges=enc.prompt_ranges,
+                prompt_kinds=enc.prompt_kinds, entity_labels=enc.entity_labels,
+                word_first_subword=enc.word_first_subword, words=enc.words,
+                word_starts=enc.word_starts, word_ends=enc.word_ends,
+                span_starts=enc.span_starts[keep],
+                span_widths=enc.span_widths[keep])
+            span_embs = self.span_embeddings(sub, word_embs)
+            sub_logits = self._dot_clipped(span_embs, labels)
+            logits = np.full((n_spans, n_labels), -10.0)
+            logits[keep] = sub_logits
         return logits, enc
+
+    def _dot_clipped(self, span_embs: np.ndarray, labels: np.ndarray) -> np.ndarray:
+        """D1 dot product with the hash-noise (core) contribution clipped to
+        ±_NOISE_CLIP — the bound that makes the prefilter exact."""
+        core = span_embs[:, : self.core] @ labels[:, : self.core].T
+        feat = span_embs[:, self.core:] @ labels[:, self.core:].T
+        return np.clip(core, -self._NOISE_CLIP, self._NOISE_CLIP) + feat
 
     # -- A3 + M13: classification ----------------------------------------
     def classify(self, text: str, labels: list[str], multi_label: bool,

@@ -58,7 +58,7 @@ class Oracle:
     def _run_extraction(self, text: str, labels: list[str], threshold: float) -> list[Mention]:
         enc = encode_schema(text, labels, self.backend.tokenizer,
                             self.config.max_span_width)
-        logits, enc = self.backend.span_scores(enc)
+        logits, enc = self.backend.span_scores(enc, threshold)
         return decode_spans_with_text(logits, enc, threshold, text)
 
     def extract_mentions(self, text: str, labels: list[str],

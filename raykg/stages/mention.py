@@ -54,13 +54,13 @@ class MentionExtractor:
             for ch in chunks:
                 enc = encode_schema(ch.text, self.labels, self.backend.tokenizer,
                                     cfg.max_span_width)
-                logits, enc = self.backend.span_scores(enc)
+                logits, enc = self.backend.span_scores(enc, cfg.threshold)
                 ms = decode_spans_with_text(logits, enc, cfg.threshold, ch.text)
                 out.extend(adjust_offsets(ms, ch.start_offset))
             return merge_chunks(out)
         enc = encode_schema(text, self.labels, self.backend.tokenizer,
                             cfg.max_span_width)
-        logits, enc = self.backend.span_scores(enc)
+        logits, enc = self.backend.span_scores(enc, cfg.threshold)
         return decode_spans_with_text(logits, enc, cfg.threshold, text)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
