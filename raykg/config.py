@@ -38,9 +38,10 @@ class PipelineConfig:
     seed: int = 42                   # surrogate weight seed — THE determinism root
 
     # Ray execution knobs (scale tuning; not semantics)
-    scorer_batch_size: int = 64      # docs per scorer batch (~200ms of work:
-                                     # small enough to parallelize small
-                                     # shards, large enough to amortize)
+    scorer_batch_size: int = 32      # docs per scorer batch (~50-100ms of
+                                     # work: long-doc stragglers in the last
+                                     # wave of a stage dominate tail latency
+                                     # with bigger batches)
     scorer_concurrency: int = 30     # actor pool UPPER bound; pool autoscales
                                      # from 1 and is capped at CPUs-2
     linker_batch_size: int = 4096

@@ -102,15 +102,15 @@ def kg_datasets(pages_ds, labels: list[str] | None = None,
     extracts = extract_stage(pages_ds, labels, config, dedup).materialize()
     mentions = extracts.map_batches(explode_mentions, batch_format="pyarrow", batch_size=None)
     triples = extracts.map_batches(explode_triples, batch_format="pyarrow", batch_size=None)
-    nodes_raw = canonicalize(mentions)
+    nodes_mat = canonicalize(mentions).materialize()
+    n_nodes = nodes_mat.count()
     alias_map: dict[int, int] = {}
     if alias_merge:
-        nodes_mat = nodes_raw.materialize()
         alias_map = components_driver(alias_pairs(nodes_mat))
         nodes = apply_alias_merge(nodes_mat, alias_map)
     else:
-        nodes = nodes_raw
-    nodes = materialize_nodes(nodes).materialize()
+        nodes = nodes_mat
+    nodes = materialize_nodes(nodes, approx_rows=n_nodes).materialize()
     edges = materialize_edges(triples, alias_map)
     out = {"extracts": extracts, "mentions": mentions, "triples": triples,
            "nodes": nodes, "edges": edges, "alias_map": alias_map}
@@ -165,11 +165,20 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
             if resume and manifest.done(name, fp) and os.path.isdir(shard_dir):
                 skipped += 1
                 continue
+            import time as _time
+
+            t_shard = _time.perf_counter()
             pages = rd.read_parquet(shard)
             extracts = extract_stage(pages, labels, cfg, dedup=True)
             n = atomic_write_parquet(extracts, shard_dir)
-            manifest.record(name, fp, {"rows": n, "files": [os.path.basename(f)
-                                                            for f in shard]})
+            wall = _time.perf_counter() - t_shard
+            # per-shard lineage: input files, row count, wall, throughput
+            manifest.record(name, fp, {
+                "rows": n,
+                "files": [os.path.basename(f) for f in shard],
+                "wall_s": round(wall, 3),
+                "rows_per_s": round(n / wall, 1) if wall > 0 else None,
+            })
             total_rows += n
         info["rows"] = total_rows
         info["shards"] = len(shards)
@@ -179,23 +188,50 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
     mentions = extracts.map_batches(explode_mentions, batch_format="pyarrow", batch_size=None)
     triples = extracts.map_batches(explode_triples, batch_format="pyarrow", batch_size=None)
 
-    with metrics.stage("canonicalize") as info:
-        nodes_raw = canonicalize(mentions).materialize()
-        info["rows"] = nodes_raw.count()
+    # Phase 2: the node path (canonicalize → alias CC → nodes) and the edge
+    # AGGREGATION are independent dataset executions — run them concurrently
+    # (two driver threads; Ray schedules both under one resource pool). The
+    # alias rewrite is applied to the already-aggregated (small) edge set.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..stages.graph import aggregate_edges, finalize_edges
+
     alias_map: dict[int, int] = {}
-    if alias_merge:
-        with metrics.stage("alias_merge") as info:
-            alias_map = components_driver(alias_pairs(nodes_raw))
-            nodes = apply_alias_merge(nodes_raw, alias_map)
-            info["merged"] = len(alias_map)
-    else:
-        nodes = nodes_raw
-    with metrics.stage("nodes") as info:
-        info["rows"] = atomic_write_parquet(materialize_nodes(nodes),
-                                            os.path.join(out_dir, "nodes"))
-    with metrics.stage("edges") as info:
-        info["rows"] = atomic_write_parquet(materialize_edges(triples, alias_map),
-                                            os.path.join(out_dir, "edges"))
+
+    def node_path():
+        with metrics.stage("canonicalize") as info:
+            nodes_raw = canonicalize(mentions).materialize()
+            n_nodes = nodes_raw.count()
+            info["rows"] = n_nodes
+        if alias_merge:
+            with metrics.stage("alias_merge") as info:
+                amap = components_driver(alias_pairs(nodes_raw))
+                nodes = apply_alias_merge(nodes_raw, amap)
+                info["merged"] = len(amap)
+        else:
+            amap = {}
+            nodes = nodes_raw
+        with metrics.stage("nodes") as info:
+            info["rows"] = atomic_write_parquet(
+                materialize_nodes(nodes, approx_rows=n_nodes),
+                os.path.join(out_dir, "nodes"))
+        return amap
+
+    def edge_agg_path():
+        agg = aggregate_edges(triples).materialize()
+        return agg, agg.count()
+
+    with metrics.stage("graph_phase") as phase_info:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_nodes = pool.submit(node_path)
+            fut_edges = pool.submit(edge_agg_path)
+            alias_map = fut_nodes.result()
+            edges_agg, n_edges = fut_edges.result()
+        with metrics.stage("edges") as info:
+            info["rows"] = atomic_write_parquet(
+                finalize_edges(edges_agg, alias_map, approx_rows=n_edges),
+                os.path.join(out_dir, "edges"))
+        phase_info["rows"] = metrics.stages["edges"]["rows"]
     if link:
         with metrics.stage("links") as info:
             import ray

@@ -70,19 +70,72 @@ def _merge_edge_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return out[["src", "pred", "dst", "weight", "urls"]]
 
 
-def materialize_edges(triples_ds, alias_map: dict[int, int] | None = None,
-                      num_buckets: int = 32):
-    """triples Dataset → edges Dataset sorted by (src, pred, dst)."""
+def aggregate_edges(triples_ds, alias_map: dict[int, int] | None = None,
+                    num_buckets: int = 32):
+    """triples → UNSORTED aggregated edges. With ``alias_map=None`` this has
+    no dependency on the canonicalization path, so it can run CONCURRENTLY
+    with it; apply the (tiny) alias rewrite afterwards via
+    ``finalize_edges``."""
     from .shuffle import bucketed_group_apply
 
     partials = triples_ds.map_batches(
         lambda b: partial_edges(b, alias_map), batch_format="pyarrow",
         batch_size=None)
-    edges = bucketed_group_apply(partials, ["src", "pred", "dst"],
-                                 _merge_edge_bucket, num_buckets)
-    return edges.sort(["src", "pred", "dst"])
+    return bucketed_group_apply(partials, ["src", "pred", "dst"],
+                                _merge_edge_bucket, num_buckets)
 
 
-def materialize_nodes(nodes_ds):
-    """nodes Dataset → sorted by node_id (stable graph output layout)."""
-    return nodes_ds.sort("node_id")
+def finalize_edges(edges_ds, alias_map: dict[int, int] | None = None,
+                   approx_rows: int | None = None):
+    """Rewrite aggregated edges through the alias map (post-aggregation —
+    sums are associative, url samples re-capped) and sort. Aggregating by
+    pre-merge ids first is what lets edge aggregation overlap the
+    canonicalization shuffle."""
+    if alias_map:
+        import json as _json
+
+        am = alias_map
+
+        def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            df["src"] = df["src"].map(lambda x: am.get(int(x), int(x)))
+            df["dst"] = df["dst"].map(lambda x: am.get(int(x), int(x)))
+            return df
+
+        def remerge(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ["src", "pred", "dst"]
+            weights = df.groupby(keys, sort=False, as_index=False)["weight"].sum()
+            u = df[keys + ["urls"]].explode("urls").drop_duplicates()
+            u = u.sort_values(keys + ["urls"], kind="stable")
+            u = u[u.groupby(keys).cumcount() < _MAX_URLS]
+            urls = u.groupby(keys, sort=False)["urls"].agg(list).reset_index()
+            out = weights.merge(urls, on=keys, how="left")
+            out["weight"] = out["weight"].astype("int64")
+            return out[["src", "pred", "dst", "weight", "urls"]]
+
+        from .shuffle import bucketed_group_apply
+
+        edges_ds = bucketed_group_apply(
+            edges_ds.map_batches(rewrite, batch_format="pandas"),
+            ["src", "pred", "dst"], remerge, num_buckets=8)
+    from .shuffle import adaptive_sort
+
+    return adaptive_sort(edges_ds, ["src", "pred", "dst"],
+                         approx_rows=approx_rows)
+
+
+def materialize_edges(triples_ds, alias_map: dict[int, int] | None = None,
+                      num_buckets: int = 32):
+    """triples Dataset → edges Dataset sorted by (src, pred, dst).
+    Single-call convenience: aggregate (with the map applied in the
+    combiner) then sort."""
+    return aggregate_edges(triples_ds, alias_map, num_buckets) \
+        .sort(["src", "pred", "dst"])
+
+
+def materialize_nodes(nodes_ds, approx_rows: int | None = None):
+    """nodes Dataset → sorted by node_id (stable graph output layout;
+    single-task sort below the small-data threshold)."""
+    from .shuffle import adaptive_sort
+
+    return adaptive_sort(nodes_ds, ["node_id"], approx_rows=approx_rows)

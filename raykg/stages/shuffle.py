@@ -83,6 +83,26 @@ def first_per_key(ds, keys: list[str], order_by: str, ascending: bool = False,
     return bucketed_group_apply(ds, keys, pick, num_buckets)
 
 
+SMALL_SORT_ROWS = 2_000_000
+
+
+def adaptive_sort(ds, keys: list[str], approx_rows: int | None = None):
+    """Global sort that doesn't pay Ray's range-shuffle constants on SMALL
+    data: below ``SMALL_SORT_ROWS`` the dataset is coalesced to one block and
+    sorted in a single vectorized task (measured: Ray's distributed sort
+    spent ~6s on 200 rows); above it, the real range sort runs. Post-
+    aggregation outputs (nodes, edges) are almost always on the small side —
+    they are the REDUCED data."""
+    n = approx_rows if approx_rows is not None else ds.count()
+    if n <= SMALL_SORT_ROWS:
+        def sort_block(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(keys, kind="stable")
+
+        return ds.repartition(1).map_batches(sort_block, batch_format="pandas",
+                                             batch_size=None)
+    return ds.sort(keys)
+
+
 def _h64s(s: str) -> int:
     from hashlib import blake2b
 
@@ -106,11 +126,10 @@ def first_per_key_arrow(ds, key: str, order_by: str, ascending: bool = False,
         kcol = g.column(key).to_pylist()
         ocol = g.column(order_by).to_pylist()
         n = len(kcol)
-        order = sorted(range(n),
-                       key=lambda i: (kcol[i], ocol[i]) if ascending
-                       else (kcol[i],), reverse=False)
-        if not ascending:
-            # stable two-pass: sort by order_by desc within key
+        if ascending:
+            order = sorted(range(n), key=lambda i: (kcol[i], ocol[i]))
+        else:
+            # stable two-pass: order_by desc within key asc
             order = sorted(range(n), key=lambda i: ocol[i], reverse=True)
             order = sorted(order, key=lambda i: kcol[i])
         seen: set = set()

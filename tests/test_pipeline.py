@@ -204,6 +204,35 @@ def test_alias_components(ray_session):
     assert len(top) == 1 and top["canonical"].iloc[0] == "acme analytics"
 
 
+def test_finalize_edges_alias_rewrite(ray_session):
+    """Post-aggregation alias rewrite (the branch that lets edge aggregation
+    run concurrently with canonicalization): weights merge, url samples
+    union, and the result is sorted."""
+    import ray.data as rd
+
+    from raykg.core.canonical import node_id
+    from raykg.stages.graph import aggregate_edges, finalize_edges
+
+    triples = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4], "url": ["u1", "u2", "u3", "u4"],
+        "subj": ["Alpha Beta", "Alpha Betas", "Gamma", "Alpha Beta"],
+        "pred": ["works_at"] * 4,
+        "obj": ["Delta Inc", "Delta", "Delta", "Epsilon"],
+        "subj_label": ["x"] * 4, "obj_label": ["y"] * 4,
+        "score": [0.9] * 4,
+    }))
+    agg = aggregate_edges(triples).materialize()
+    amap = {node_id("alpha betas"): node_id("alpha beta")}
+    final = finalize_edges(agg, amap).to_pandas()
+    ab, d = node_id("alpha beta"), node_id("delta")
+    merged = final[(final["src"] == ab) & (final["dst"] == d)]
+    assert len(merged) == 1 and int(merged["weight"].iloc[0]) == 2
+    assert sorted(merged["urls"].iloc[0]) == ["u1", "u2"]
+    assert int(final["weight"].sum()) == 4
+    key = list(zip(final["src"], final["pred"], final["dst"]))
+    assert key == sorted(key)
+
+
 def test_components_distributed_matches_driver(ray_session):
     import ray.data as rd
 
