@@ -105,6 +105,22 @@ def run_bench() -> dict:
         fn(SF_DIR).count()
         queries[name] = round(time.perf_counter() - t, 3)
 
+    # links stage (north-rule component): extract a 1× sample of the corpus,
+    # build the canonical catalog, link every mention (brute-force path)
+    t = time.perf_counter()
+    from raykg.pipelines.kg import extract_stage
+    from raykg.sources.pages import pages_dataset
+    from raykg.stages.canonicalize import canonicalize
+    from raykg.stages.link import build_catalog, link_mentions
+    from raykg.stages.mention import explode_mentions
+
+    ex = extract_stage(pages_dataset(SF_DIR, repeat=1)).materialize()
+    mentions = ex.map_batches(explode_mentions, batch_format="pyarrow")
+    nodes = canonicalize(mentions).materialize()
+    catalog_ref = ray.put(build_catalog(nodes))
+    link_mentions(mentions, catalog_ref).count()
+    queries["kg_links_sample"] = round(time.perf_counter() - t, 3)
+
     from raykg.functions import dedup, relational, similarity, textstats, windows
 
     timed("lineitem_agg", relational.q_lineitem_agg)

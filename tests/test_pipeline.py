@@ -246,6 +246,27 @@ def test_components_distributed_matches_driver(ray_session):
     assert got[2] == 1 and got[3] == 1 and got[8] == 1 and got[6] == 5
 
 
+def test_links_referential_integrity(ray_session, extracts):
+    """Every linked mention resolves to a catalog node; exact-surface
+    mentions link at cosine ≈ 1."""
+    import ray
+
+    from raykg.stages.canonicalize import canonicalize
+    from raykg.stages.link import build_catalog, link_mentions
+    from raykg.stages.mention import explode_mentions
+
+    mentions = extracts.map_batches(explode_mentions, batch_format="pyarrow")
+    nodes = canonicalize(mentions).materialize()
+    catalog_ref = ray.put(build_catalog(nodes))
+    links = link_mentions(mentions, catalog_ref, concurrency=2).to_pandas()
+    node_ids = set(nodes.to_pandas()["node_id"])
+    linked = links[links["entity_id"] >= 0]
+    assert len(linked) == len(links)            # catalog covers every surface
+    assert set(linked["entity_id"]) <= node_ids
+    # a mention whose surface IS a catalog canonical must link to itself
+    assert (linked["link_score"] > 0.999).mean() > 0.95
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     import ray.data as rd
 
@@ -264,3 +285,19 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert s2["stages"]["nodes"]["rows"] == n_nodes
     nodes = rd.read_parquet(os.path.join(out, "nodes")).to_pandas()
     assert nodes["node_id"].is_unique
+    # crash-atomicity: a leftover half-written temp dir (simulated crash
+    # mid-shard) must not break or pollute a resumed run
+    import json as _json
+
+    crash_dir = os.path.join(out, "extracts", "shard=00000.__tmp__")
+    os.makedirs(crash_dir, exist_ok=True)
+    with open(os.path.join(crash_dir, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    manifest = _json.load(open(os.path.join(out, "manifest.json")))
+    del manifest["shard=00000"]          # pretend shard 0 never completed
+    _json.dump(manifest, open(os.path.join(out, "manifest.json"), "w"))
+    s3 = run_kg_pipeline(pages_dir, out, link=False, shard_size=1)
+    assert s3["stages"]["extract"]["shards_skipped"] == \
+        s3["stages"]["extract"]["shards"] - 1
+    assert s3["stages"]["nodes"]["rows"] == n_nodes
+    assert not os.path.exists(crash_dir)
