@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis): structural invariants that must hold
+for ANY input, not just curated cases — chunker coverage, NMS disjointness,
+offset slicing, normalization idempotence, dedup-pattern determinism."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raykg.config import KG_LABELS
+from raykg.core.chunk import chunk_text
+from raykg.core.wordsplit import WORD_RE, split_words
+from raykg.oracle import Oracle
+
+_oracle = Oracle()
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # any non-surrogate
+    max_size=400,
+)
+word_text_st = st.lists(
+    st.sampled_from(["Alice", "bob", "Berlin", "works", "at", "Acme", "Inc",
+                     "the", "café", "北京", "42", ".", ",", "—", "\n", " "]),
+    max_size=120,
+).map(lambda ws: " ".join(ws))
+
+
+@given(text_st)
+@settings(max_examples=150, deadline=None)
+def test_wordsplit_slices_roundtrip(text):
+    for w, s, e in split_words(text):
+        assert text[s:e] == w
+        assert w and not w[0].isspace()
+
+
+@given(word_text_st, st.integers(8, 64), st.integers(2, 16), st.integers(4, 32))
+@settings(max_examples=100, deadline=None)
+def test_chunker_invariants(text, max_chars, overlap, max_words):
+    chunks = chunk_text(text, max_chars, overlap, max_words)
+    covered = [False] * len(text)
+    for ch in chunks:
+        assert text[ch.start_offset:ch.end_offset] == ch.text
+        assert ch.word_count <= max_words
+        assert ch.text == ch.text.strip()
+        for i in range(ch.start_offset, ch.end_offset):
+            covered[i] = True
+    # every word character is inside some chunk (whitespace may be trimmed)
+    for m in WORD_RE.finditer(text):
+        assert all(covered[m.start():m.end()]), (m.group(0), m.span())
+
+
+@given(word_text_st, st.floats(0.05, 0.95))
+@settings(max_examples=60, deadline=None)
+def test_mentions_invariants(text, threshold):
+    mentions = _oracle.extract_mentions(text, KG_LABELS, threshold)
+    # NMS: pairwise disjoint char ranges; surfaces slice the original text;
+    # scores ≥ threshold; output sorted by start
+    prev_start = -1
+    for m in mentions:
+        assert text[m.start:m.end] == m.text
+        assert m.score >= threshold - 1e-9
+        assert m.start >= prev_start
+        prev_start = m.start
+    for i, a in enumerate(mentions):
+        for b in mentions[i + 1:]:
+            assert a.end <= b.start or b.end <= a.start
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=150, deadline=None)
+def test_normalize_surface_idempotent(s):
+    from raykg.core.canonical import normalize_surface
+
+    once = normalize_surface(s)
+    assert normalize_surface(once) == once
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_winnowing_deterministic_and_bounded(text):
+    from raykg.functions.textstats import winnow_fingerprints
+
+    a = winnow_fingerprints(text)
+    assert a == winnow_fingerprints(text)
+    assert all(0 <= x < (1 << 61) for x in a)
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(1, 10),
+                          st.sampled_from("abc"),
+                          st.floats(0.01, 0.99)), max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_iou_nms_invariants(spans):
+    from raykg.core.decode import Mention
+    from raykg.core.simfuncs import iou, iou_nms
+
+    ms = [Mention(f"t{s}", lab, sc, s, s + w) for s, w, lab, sc in spans]
+    kept = iou_nms(ms, 0.5)
+    # no two kept same-label mentions overlap above the threshold
+    for i, a in enumerate(kept):
+        for b in kept[i + 1:]:
+            if a.label == b.label:
+                assert iou(a.start, a.end, b.start, b.end) <= 0.5
+    # idempotent
+    assert iou_nms(kept, 0.5) == kept
