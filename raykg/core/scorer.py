@@ -60,6 +60,7 @@ class SurrogateBackend:
         self._tok_emb: dict[int, np.ndarray] = {}
         self._label_emb: dict[str, np.ndarray] = {}
         self._feat_cache: dict[str, tuple[float, float]] = {}
+        self._prefix_cache: dict[tuple, np.ndarray] = {}
         self._scale = 1.0 / np.sqrt(self.core)
 
     # -- A1: encoder ------------------------------------------------------
@@ -95,6 +96,41 @@ class SurrogateBackend:
         for i, (a, b) in enumerate(enc.prompt_ranges):
             prompt[i] = hidden[a:b].mean(axis=0) if b > a else 0.0
         return word_embs, prompt
+
+    # -- fused A1+A7 with schema-prefix caching ---------------------------
+    def forward(self, enc: SchemaEncoding) -> tuple[np.ndarray, np.ndarray]:
+        """(word_embs, prompt_embs), numerically IDENTICAL to
+        encode(full)+project but with the schema prefix computed once per
+        label set: the ±1 context-mix window means (a) label-range hidden
+        states never see text tokens — their mean (prompt embedding) is a
+        pure function of the prefix — and (b) the text side only needs the
+        raw embedding of [SEP_TEXT] as its left boundary. The prompt is
+        identical for every row sharing a label set (SURVEY.md M6 note:
+        GLiNERTokenizer.swift:286-293), so this cache hits on every doc of a
+        pipeline batch after the first."""
+        key = (tuple(enc.entity_labels), tuple(enc.prompt_kinds))
+        cached = self._prefix_cache.get(key)
+        if cached is None:
+            prefix_hidden = self.encode(enc.input_ids[:enc.text_start])
+            prompt = np.empty((len(enc.prompt_ranges), self.core))
+            for i, (a, b) in enumerate(enc.prompt_ranges):
+                # ranges end ≥2 positions before text_start → exact under
+                # the truncated-prefix encode (right neighbor in prefix)
+                prompt[i] = prefix_hidden[a:b].mean(axis=0) if b > a else 0.0
+            cached = prompt
+            self._prefix_cache[key] = cached
+        if not enc.words:
+            return np.empty((0, self.core)), cached
+        text_ids = enc.input_ids[enc.text_start:]
+        e = self._embed_ids(text_ids)
+        h = 0.6 * e
+        h[1:] += 0.2 * e[:-1]
+        h[:-1] += 0.2 * e[1:]
+        # left boundary: first text subword's left neighbor is [SEP_TEXT]
+        h[0] += 0.2 * self._embed_ids(enc.input_ids[enc.text_start - 1:
+                                                    enc.text_start])[0]
+        word_embs = h[enc.word_first_subword - enc.text_start]
+        return word_embs, cached
 
     # -- label embeddings (A9 cache analogue) -----------------------------
     def label_embedding(self, label: str) -> np.ndarray:
@@ -189,8 +225,7 @@ class SurrogateBackend:
         decoded output while cutting the span-embedding work to the
         capitalized fraction. (Both the engine and the oracle run this exact
         code, so the equivalence is also enforced by the parity gates.)"""
-        hidden = self.encode(enc.input_ids)
-        word_embs, prompt_embs = self.project(enc, hidden)
+        word_embs, prompt_embs = self.forward(enc)
         n_labels = len(enc.entity_labels)
         if self.predict_count(prompt_embs, len(enc.words)) == 0:
             return np.empty((0, n_labels)), enc
@@ -239,8 +274,7 @@ class SurrogateBackend:
         softmax; keep ≥ threshold; sort score desc (GLiNERModel.swift:247-302)."""
         enc = encode_schema(text, labels, self.tokenizer,
                             self.config.max_span_width, kinds=["C"] * len(labels))
-        hidden = self.encode(enc.input_ids)
-        word_embs, prompt_embs = self.project(enc, hidden)
+        word_embs, prompt_embs = self.forward(enc)
         if len(enc.words) == 0:
             return []
         text_repr = word_embs.mean(axis=0)

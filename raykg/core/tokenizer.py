@@ -152,6 +152,11 @@ class SchemaEncoding:
     # span plan (M7)
     span_starts: np.ndarray          # (n_spans,) word index
     span_widths: np.ndarray          # (n_spans,) width 0..W-1  (end = start+width)
+    # index of the first text subword (= position right after [SEP_TEXT]);
+    # everything before it is the schema PREFIX, identical for every doc
+    # sharing a label set → its hidden states/prompt embeddings are cached
+    # per label set (SURVEY.md §2.2 M6 note)
+    text_start: int = 0
 
 
 def _literal_ids(tok: WordTokenizer, text: str) -> list[int]:
@@ -175,6 +180,7 @@ def encode_schema(text: str, labels: list[str], tok: WordTokenizer,
         prompt_ranges.append((start, len(ids)))
     ids.extend(tok.ids(")"))
     ids.append(SEP_TEXT_ID)
+    text_start = len(ids)
 
     word_tuples = split_words(text)
     words = [w for w, _, _ in word_tuples]
@@ -203,4 +209,5 @@ def encode_schema(text: str, labels: list[str], tok: WordTokenizer,
         word_ends=ends,
         span_starts=ss[valid],
         span_widths=ww[valid],
+        text_start=text_start,
     )
