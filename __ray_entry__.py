@@ -14,8 +14,15 @@ The driver calls ``ray.init(...)`` BEFORE importing this module; nothing here
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# robust under any driver import style (file-spec import with foreign cwd)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from raykg.functions import dedup, multimodal, relational, similarity, textstats, windows
 from raykg.pipelines.kg import extract_stage, kg_datasets

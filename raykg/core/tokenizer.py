@@ -192,12 +192,7 @@ def encode_schema(text: str, labels: list[str], tok: WordTokenizer,
         ids.extend(tok.ids(w.lower()))   # text words lowercased (GLiNERTokenizer.swift:306)
     ids.append(SEP_ID)
 
-    n_words = len(words)
-    w_arr = np.arange(n_words, dtype=np.int64)
-    widths = np.arange(max_span_width, dtype=np.int64)
-    ss = np.repeat(w_arr, max_span_width)
-    ww = np.tile(widths, n_words)
-    valid = ss + ww < n_words
+    ss, ww = _span_plan(len(words), max_span_width)
     return SchemaEncoding(
         input_ids=np.asarray(ids, dtype=np.int32),
         prompt_ranges=prompt_ranges,
@@ -207,7 +202,27 @@ def encode_schema(text: str, labels: list[str], tok: WordTokenizer,
         words=words,
         word_starts=starts,
         word_ends=ends,
-        span_starts=ss[valid],
-        span_widths=ww[valid],
+        span_starts=ss,
+        span_widths=ww,
         text_start=text_start,
     )
+
+
+_span_plan_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _span_plan(n_words: int, max_span_width: int) -> tuple[np.ndarray, np.ndarray]:
+    """M7 span plan, memoized by (word count, width) — it depends on nothing
+    else, and word counts repeat constantly across documents."""
+    key = (n_words, max_span_width)
+    got = _span_plan_cache.get(key)
+    if got is None:
+        w_arr = np.arange(n_words, dtype=np.int64)
+        widths = np.arange(max_span_width, dtype=np.int64)
+        ss = np.repeat(w_arr, max_span_width)
+        ww = np.tile(widths, n_words)
+        valid = ss + ww < n_words
+        got = (ss[valid], ww[valid])
+        if len(_span_plan_cache) < 4096:
+            _span_plan_cache[key] = got
+    return got

@@ -17,7 +17,9 @@ Stage → Ray primitive map (shuffles marked):
   mention+relations map_batches(MentionExtractor actor pool)
   explode           map_batches, stateless
   canonicalize      combiner → groupby(norm,salt) → groupby(norm)  [shuffle ×2, pre-aggregated]
-  alias merge       LSH bucket groupby + driver union-find   [small shuffle]
+  alias merge       token-block groupby + adaptive CC (driver
+                    union-find ≤ budget, else distributed
+                    min-label propagation)                   [small shuffle]
   link              map_batches(LinkerActor pool, broadcast catalog)
   edges             combiner → groupby(src,pred,dst) → sort  [shuffle + sort]
 """
@@ -27,8 +29,8 @@ from __future__ import annotations
 import os
 
 from ..config import DEFAULT_CONFIG, KG_LABELS, PipelineConfig
-from ..stages.canonicalize import (alias_pairs, apply_alias_merge, canonicalize,
-                                   components_driver)
+from ..stages.canonicalize import (alias_components, alias_pairs,
+                                   apply_alias_merge, canonicalize)
 from ..stages.extract import extract_docs, filter_lang
 from ..stages.graph import materialize_edges, materialize_nodes
 from ..stages.link import build_catalog, link_mentions
@@ -106,7 +108,7 @@ def kg_datasets(pages_ds, labels: list[str] | None = None,
     n_nodes = nodes_mat.count()
     alias_map: dict[int, int] = {}
     if alias_merge:
-        alias_map = components_driver(alias_pairs(nodes_mat))
+        alias_map = alias_components(alias_pairs(nodes_mat))
         nodes = apply_alias_merge(nodes_mat, alias_map)
     else:
         nodes = nodes_mat
@@ -205,7 +207,7 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
             info["rows"] = n_nodes
         if alias_merge:
             with metrics.stage("alias_merge") as info:
-                amap = components_driver(alias_pairs(nodes_raw))
+                amap = alias_components(alias_pairs(nodes_raw))
                 nodes = apply_alias_merge(nodes_raw, amap)
                 info["merged"] = len(amap)
         else:

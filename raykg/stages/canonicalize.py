@@ -213,6 +213,28 @@ def alias_pairs(nodes_ds, cos_threshold: float = 0.80, seed: int = 42):
     return bucketed_group_apply(buckets, ["bucket"], pairs_in_hash_bucket)
 
 
+def alias_components(pairs_ds, driver_budget: int = 2_000_000) -> dict[int, int]:
+    """Adaptive connected components: union-find on the driver while the
+    candidate-pair set fits the budget; distributed min-label propagation
+    beyond it (SURVEY.md §7.3 — 'choose by measured edge count; both paths
+    implemented behind one interface'). The returned rewrite map is bounded
+    by the number of MERGED surfaces, not pairs; a deployment where even
+    that exceeds driver memory applies the (node, root) Dataset via a
+    bucketized join instead of a broadcast dict — same downstream shape."""
+    pairs_mat = pairs_ds.materialize()
+    n = pairs_mat.count()
+    if n <= driver_budget:
+        return components_driver(pairs_mat)
+    labels = components_distributed(pairs_mat)
+    out: dict[int, int] = {}
+    for batch in labels.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for node, root in zip(batch.column("node").to_pylist(),
+                              batch.column("root").to_pylist()):
+            if node != root:
+                out[int(node)] = int(root)
+    return out
+
+
 def components_driver(pairs_ds) -> dict[int, int]:
     """Union-find on the driver. Bounded by the candidate-pair count (pairs
     exist only among near-duplicate distinct surfaces), NOT corpus size —
