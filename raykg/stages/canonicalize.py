@@ -16,11 +16,12 @@ Physical plan (SURVEY.md §7.2-7.3):
    with a pure function — the triples→nodes "join" costs ZERO shuffle.
 
 Alias merging (connected components) lives in this module too: candidate
-near-duplicate surface pairs come from LSH sign-bucketing of the trigram
-embeddings; components are resolved by driver union-find when the distinct
-pair set is small (it is bounded by distinct-surface count, not corpus size)
-with a distributed min-label-propagation fallback for when it is not
-(SURVEY.md §7.3).
+near-duplicate surface pairs come from TOKEN BLOCKING (one bucket per word
+of the canonical surface — sign-bit hyperplane LSH was measured at <10% pair
+recall at these surface lengths and replaced) verified by trigram cosine;
+components are resolved adaptively (``alias_components``): driver union-find
+while the measured pair count fits a budget, distributed min-label
+propagation beyond it (SURVEY.md §7.3).
 """
 
 from __future__ import annotations
@@ -32,8 +33,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..core.canonical import SurfaceEmbedder, UnionFind, node_id, normalize_surface
-from ..schemas import NODES
+from ..core.canonical import SurfaceEmbedder, UnionFind, node_id
 
 DEFAULT_SALTS = 16
 _MAX_ALIASES = 16
