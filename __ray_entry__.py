@@ -24,6 +24,41 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
+
+def _register_by_value() -> None:
+    """Ray workers inherit sys.path from ray.init time — if the driver
+    initialised Ray from a cwd without this repo on the path, workers cannot
+    unpickle ``raykg`` classes by reference (observed: ModuleNotFoundError in
+    every worker). Import the whole package tree eagerly and register it for
+    cloudpickle BY-VALUE serialization, so UDF classes/closures ship their
+    definitions with the task instead of a module reference."""
+    import importlib
+    import pkgutil
+
+    import raykg
+
+    for info in pkgutil.walk_packages(raykg.__path__, prefix="raykg."):
+        if info.name.endswith("__main__"):
+            continue        # the CLI entry point executes on import
+        try:
+            importlib.import_module(info.name)
+        except Exception:
+            pass
+    try:
+        from ray import cloudpickle as _cp
+
+        for name, mod in list(sys.modules.items()):
+            if mod is not None and (name == "raykg" or name.startswith("raykg.")):
+                try:
+                    _cp.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+    except Exception:
+        pass
+
+
+_register_by_value()
+
 from raykg.functions import dedup, multimodal, relational, similarity, textstats, windows
 from raykg.pipelines.kg import extract_stage, kg_datasets
 from raykg.sources.pages import pages_dataset

@@ -33,7 +33,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..core.canonical import SurfaceEmbedder, UnionFind, node_id
+from ..core.canonical import (SurfaceEmbedder, UnionFind, node_id,
+                              surface_key)
 
 DEFAULT_SALTS = 16
 _MAX_ALIASES = 16
@@ -44,8 +45,6 @@ def partial_canonical(batch: pa.Table, salts: int = DEFAULT_SALTS) -> pa.Table:
     aliases_json) rows. Runs inside map_batches; no shuffle yet."""
     surfaces = batch.column("text").to_pylist()
     labels = batch.column("label").to_pylist()
-    from ..core.canonical import surface_key
-
     df = pd.DataFrame({"text": surfaces, "label": labels})
     norm_map = {s: surface_key(s)[0] for s in pd.unique(df["text"])}
     df["norm"] = df["text"].map(norm_map)

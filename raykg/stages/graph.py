@@ -24,6 +24,8 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+from ..core.canonical import surface_key
+
 _MAX_URLS = 8
 
 
@@ -31,8 +33,6 @@ def partial_edges(batch: pa.Table, alias_map: dict[int, int] | None = None) -> p
     """Combiner: triple rows → partial (src, pred, dst, weight, url_sample)
     rows — one per distinct edge per block, fully vectorized except the
     distinct-surface id map (Zipf ⇒ few distinct per block)."""
-    from ..core.canonical import surface_key
-
     am = alias_map or {}
     df = pd.DataFrame({
         "subj": batch.column("subj").to_pylist(),

@@ -26,7 +26,7 @@ from ..core.decode import Mention, adjust_offsets, decode_spans_with_text, merge
 from ..core.relations import RelationConfig, extract_triples
 from ..core.scorer import SurrogateBackend
 from ..core.tokenizer import encode_schema
-from ..schemas import DOC_EXTRACTS
+from ..schemas import DOC_EXTRACTS, MENTIONS, TRIPLES
 
 
 class MentionExtractor:
@@ -118,16 +118,12 @@ def _explode(batch: pa.Table, list_col: str, fields: list[str],
 
 def explode_mentions(batch: pa.Table) -> pa.Table:
     """doc-extract rows → flat mention rows (stateless, no shuffle)."""
-    from ..schemas import MENTIONS
-
     return _explode(batch, "mentions",
                     ["text", "label", "score", "start", "end"], MENTIONS)
 
 
 def explode_triples(batch: pa.Table) -> pa.Table:
     """doc-extract rows → flat triple rows (stateless, no shuffle)."""
-    from ..schemas import TRIPLES
-
     return _explode(batch, "triples",
                     ["subj", "pred", "obj", "subj_label", "obj_label", "score"],
                     TRIPLES)
