@@ -36,14 +36,19 @@ class PipelineConfig:
     overlap_chars: int = 768         # chunker overlap = max(stride*4, 256)
     max_count: int = 8               # count-predictor clamp (manifest max_count)
     seed: int = 42                   # surrogate weight seed — THE determinism root
+    vocab_dir: str | None = None     # model directory holding tokenizer.json →
+                                     # real HF unigram vocab; None = synthetic
+                                     # fallback (no weights ship in-sandbox)
 
     # Ray execution knobs (scale tuning; not semantics)
     scorer_batch_size: int = 32      # docs per scorer batch (~50-100ms of
                                      # work: long-doc stragglers in the last
                                      # wave of a stage dominate tail latency
                                      # with bigger batches)
-    scorer_concurrency: int = 30     # actor pool UPPER bound; pool autoscales
-                                     # from 1 and is capped at CPUs-2
+    scorer_concurrency: int = 30     # FIXED actor-pool size, capped at
+                                     # CPUs-2 (autoscaling ramp measured
+                                     # 2.8× slower; pool==CPUs wedges the
+                                     # streaming executor)
     linker_batch_size: int = 4096
     linker_concurrency: int = 4
 

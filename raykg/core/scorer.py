@@ -56,7 +56,8 @@ class SurrogateBackend:
         self.h = config.hidden
         self.core = self.h - N_FEAT
         self.seed = config.seed
-        self.tokenizer = WordTokenizer(config.seed)
+        self.tokenizer = WordTokenizer(config.seed,
+                                       vocab_dir=config.vocab_dir)
         self._tok_emb: dict[int, np.ndarray] = {}
         self._label_emb: dict[str, np.ndarray] = {}
         self._feat_cache: dict[str, tuple[float, float]] = {}
@@ -280,7 +281,6 @@ class SurrogateBackend:
         text_repr = word_embs.mean(axis=0)
         text_repr /= max(1e-9, np.linalg.norm(text_repr))
         sims = prompt_embs @ text_repr / np.sqrt(self.core)
-        # deterministic per-(text,label) tiebreak noise so ordering is total
         logits = sims * 4.0
         if multi_label:
             scores = 1.0 / (1.0 + np.exp(-logits))

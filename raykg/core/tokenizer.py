@@ -36,6 +36,7 @@ from hashlib import blake2b
 
 import numpy as np
 
+from .vocab import UnigramVocab
 from .wordsplit import split_words
 
 # -- special token ids (synthetic vocab reserves 0..31) ----------------------
@@ -119,16 +120,31 @@ def viterbi_tokenize(word: str, seed: int) -> list[int]:
 
 
 class WordTokenizer:
-    """Per-word memoizing tokenizer (actor-level cache, A10 analogue)."""
+    """Per-word memoizing tokenizer (actor-level cache, A10 analogue).
 
-    def __init__(self, seed: int) -> None:
+    Two vocab backends behind one facade:
+    - ``vocab_dir`` set and a ``tokenizer.json`` present → the REAL HF
+      unigram vocab (raykg.core.vocab.UnigramVocab, reference-exact lattice
+      semantics, per-directory parse cache);
+    - otherwise the deterministic synthetic vocab (``viterbi_tokenize``) —
+      the sandbox ships no model weights (reference
+      Sources/GLiNERSwift/Resources/README.md), so tests/benches stay
+      self-contained while real deployments drop in their model directory."""
+
+    def __init__(self, seed: int, vocab_dir: str | None = None) -> None:
         self.seed = seed
+        self.vocab = UnigramVocab.maybe_load(vocab_dir)
         self._cache: dict[str, list[int]] = {}
 
     def ids(self, word: str) -> list[int]:
         got = self._cache.get(word)
         if got is None:
-            got = viterbi_tokenize(word, self.seed)
+            if self.vocab is not None:
+                got, _ = self.vocab.tokenize_normalized(normalize(word))
+                if not got:
+                    got = [self.vocab.unk_id]
+            else:
+                got = viterbi_tokenize(word, self.seed)
             self._cache[word] = got
         return got
 

@@ -7,10 +7,14 @@ Scale shapes (ray_guide "Aggregation at scale"):
 - MinHash/SimHash: sketch per batch → explode to (band, bandhash, doc) rows →
   groupby bands → candidate pairs → verify → distinct pairs. Sketching is
   numpy-vectorized (one (k × n_shingles) matmul-style pass per doc batch);
-- candidate verification fetches doc token sets from a broadcast store at
-  this corpus size; the 10^12-doc path replaces the broadcast with a
-  bucketed join of pair-ids against the documents table (documented, not
-  needed at driver scale).
+- candidate verification is a bucketed pair↔document join (the
+  ``q_ngram_jaccard`` self-join pattern): candidate doc ids (a SMALL set —
+  near-dup pairs are a vanishing fraction of any real corpus) are broadcast
+  as a membership filter, only those docs' shingle-hash lists enter the
+  join shuffle, and exact Jaccard is computed where the two sides meet.
+  Nothing corpus-sized is ever collected to the driver or ``ray.put``;
+  beyond ~10^8 candidates the id-set broadcast becomes a Bloom filter
+  (same plumbing, documented).
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..stages.shuffle import _h64s
 
 _TOK_RE = re.compile(r"[a-z0-9_]+")
 
@@ -68,6 +74,70 @@ def jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def _verified_pair_join(candidates, items_ds, id_col: str, payload_of,
+                        payload_type: pa.DataType, pair_score,
+                        score_col: str = "score", batch_size: int = 4096):
+    """Distributed candidate-pair verification (the ``q_ngram_jaccard``
+    self-join pattern, generalized).
+
+    ``candidates`` is a small (a, b) Dataset (near-dup candidates are a
+    vanishing fraction of any corpus). Its pair-membership map
+    (item id → [(a, b, role)]) is broadcast once; the items scan then emits
+    one (a, b, role, payload) row per membership — payloads are computed
+    ONLY for candidate rows — and a bucketed pair-group pass calls
+    ``pair_score(payload_a, payload_b)`` where the two sides meet (None =
+    rejected). Nothing corpus-sized is ever collected to the driver or
+    ``ray.put``; beyond ~10^8 candidate pairs the membership map shards by
+    id hash (same plumbing)."""
+    import ray
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    members: dict = {}
+    for bt in candidates.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for x, y in zip(bt.column("a").to_pylist(), bt.column("b").to_pylist()):
+            members.setdefault(x, []).append((x, y, 0))
+            members.setdefault(y, []).append((x, y, 1))
+    members_ref = ray.put(members)
+
+    def sides(batch: pa.Table) -> pa.Table:
+        mm = ray.get(members_ref)
+        aa, bb, role, payload = [], [], [], []
+        for i, iid in enumerate(batch.column(id_col).to_pylist()):
+            mships = mm.get(iid)
+            if not mships:
+                continue
+            pl = payload_of(batch, i)
+            for x, y, r in mships:
+                aa.append(x)
+                bb.append(y)
+                role.append(r)
+                payload.append(pl)
+        return pa.table({"a": pa.array(aa, pa.int64()),
+                         "b": pa.array(bb, pa.int64()),
+                         "role": pa.array(role, pa.int32()),
+                         "payload": pa.array(payload, payload_type)})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        aa, bb, ss = [], [], []
+        for (x, y), g in df.groupby(["a", "b"], sort=True):
+            if len(g) != 2:
+                continue
+            g = g.sort_values("role")
+            s = pair_score(g["payload"].iloc[0], g["payload"].iloc[1])
+            if s is not None:
+                aa.append(int(x))
+                bb.append(int(y))
+                ss.append(s)
+        return pd.DataFrame({"a": pd.Series(aa, dtype="int64"),
+                             "b": pd.Series(bb, dtype="int64"),
+                             score_col: pd.Series(ss, dtype="float64")})
+
+    out = items_ds.map_batches(sides, batch_format="pyarrow",
+                               batch_size=batch_size)
+    return bucketed_group_apply(out, ["a", "b"], verify).sort(["a", "b"])
+
+
 # -- exact dedup ------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):
@@ -99,15 +169,16 @@ FROM documents GROUP BY 1 ORDER BY h
 
 # -- MinHash + LSH near-dup -------------------------------------------------
 
-def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42,
-                  texts_by_id: dict[int, str] | None = None):
+def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42):
     """documents Dataset → verified near-dup pairs (a, b, jaccard).
 
     shingle → minhash → band → bucket groupby → candidate pairs →
-    exact-Jaccard verify (ray_guide near-dup recipe)."""
-    import ray
-    import ray.data as rd
-
+    exact-Jaccard verify (ray_guide near-dup recipe). The verify is a
+    DISTRIBUTED bucketed join: pair-side rows and candidate docs'
+    shingle-hash lists are co-located by doc_id, then regrouped by pair —
+    no whole-corpus broadcast (the only driver-side object is the candidate
+    pair-membership map, which is small by construction; Jaccard over 64-bit
+    shingle hashes equals Jaccard over shingles up to blake2b-64 collisions)."""
     a, b = _perm_params(MINHASH_K, seed)
     rows_per_band = MINHASH_K // MINHASH_BANDS
 
@@ -146,29 +217,22 @@ def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42,
         docs_ds.map_batches(bands, batch_format="pyarrow", batch_size=4096),
         ["band", "bandhash"], bucket_pairs)
     candidates = bucketed_group_apply(
-        candidates, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]))
+        candidates, ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"])).materialize()
 
-    if texts_by_id is None:
-        texts_by_id = {}
-        for bt in docs_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-            texts_by_id.update(zip(bt.column("doc_id").to_pylist(),
-                                   bt.column("text").to_pylist()))
-    texts_ref = ray.put(texts_by_id)
+    def shingle_payload(batch: pa.Table, i: int) -> list[int]:
+        # int64-safe low 63 bits (the mask is injective on the drawn hashes
+        # up to the same blake2b collision bound)
+        return [_hash64(s) & 0x7FFFFFFFFFFFFFFF
+                for s in _shingles(batch.column("text")[i].as_py())]
 
-    def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
-        aa, bb, jj = [], [], []
-        for x, y in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
-            j = jaccard(_shingles(texts[x]), _shingles(texts[y]))
-            if j >= jaccard_threshold:
-                aa.append(x)
-                bb.append(y)
-                jj.append(round(j, 6))
-        return pa.table({"a": pa.array(aa, pa.int64()),
-                         "b": pa.array(bb, pa.int64()),
-                         "jaccard": pa.array(jj, pa.float64())})
+    def jaccard_score(pa_payload, pb_payload) -> float | None:
+        j = jaccard(set(pa_payload), set(pb_payload))
+        return round(j, 6) if j >= jaccard_threshold else None
 
-    return candidates.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
+    return _verified_pair_join(candidates, docs_ds, "doc_id",
+                               shingle_payload, pa.list_(pa.int64()),
+                               jaccard_score, score_col="jaccard")
 
 
 def q_dedup_minhash(sf_dir: str):
@@ -321,30 +385,180 @@ ORDER BY a
 # -- embedding-cosine near-dup (SQL-checkable) ------------------------------
 
 EMB_DUP_THRESHOLD = 0.35
+EMB_BLOCK_ROWS = 4096
+
+
+def embedding_pairs_exact(emb_ds, threshold: float = EMB_DUP_THRESHOLD,
+                          label_col: str | None = "label",
+                          block_rows: int = EMB_BLOCK_ROWS,
+                          approx_rows: int | None = None):
+    """EXACT same-label pairwise cosine ≥ threshold, memory-bounded.
+
+    All-pairs at a low threshold (0.35 ≈ 70° apart — the oracle's semantics)
+    is irreducibly O(n²) COMPARISONS, but it must not be O(n²) MEMORY: rows
+    are hashed into fixed-size blocks and every block-PAIR (bi ≤ bj) is
+    verified independently — a task holds at most two blocks (~2·block_rows
+    rows), never a whole label group. Each row is replicated to its
+    n_blocks block-pairs (the inherent shipping cost of exact all-pairs);
+    for realistic near-dup thresholds (≥ ~0.8) use
+    ``embedding_pairs_lsh``, which prunes instead of replicating."""
+    n = approx_rows if approx_rows is not None else emb_ds.count()
+    nb = max(1, -(-n // block_rows))
+
+    def explode_blockpairs(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_pylist()
+        labels = (b.column(label_col).to_pylist() if label_col
+                  else [0] * len(ids))
+        embs = b.column("embedding").to_pylist()
+        out = {"lbl": [], "bi": [], "bj": [], "side": [],
+               "vec_id": [], "embedding": []}
+        for iid, lbl, e in zip(ids, labels, embs):
+            mine = _h64s(f"v{iid}") % nb
+            for other in range(nb):
+                bi, bj = min(mine, other), max(mine, other)
+                out["lbl"].append(lbl)
+                out["bi"].append(bi)
+                out["bj"].append(bj)
+                out["side"].append(0 if mine == bi else 1)
+                out["vec_id"].append(iid)
+                out["embedding"].append(e)
+        return pa.table({
+            "lbl": pa.array(out["lbl"], pa.int64()),
+            "bi": pa.array(out["bi"], pa.int32()),
+            "bj": pa.array(out["bj"], pa.int32()),
+            "side": pa.array(out["side"], pa.int32()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "embedding": pa.array(out["embedding"], pa.list_(pa.float32())),
+        })
+
+    def _norm(m: np.ndarray) -> np.ndarray:
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return m / norms
+
+    def verify_blockpair(df: pd.DataFrame) -> pd.DataFrame:
+        aa, bb = [], []
+        for (_, bi, bj), g in df.groupby(["lbl", "bi", "bj"], sort=True):
+            if bi == bj:
+                ids = g.loc[g["side"] == 0, "vec_id"].to_numpy()
+                m = _norm(np.stack(g.loc[g["side"] == 0, "embedding"]
+                                   .to_numpy()).astype(np.float64))
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                sims = m[order] @ m[order].T
+                ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+                aa.extend(ids[ii])
+                bb.extend(ids[jj])
+            else:
+                gi = g[g["side"] == 0]
+                gj = g[g["side"] == 1]
+                if gi.empty or gj.empty:
+                    continue
+                ids_i = gi["vec_id"].to_numpy()
+                ids_j = gj["vec_id"].to_numpy()
+                mi = _norm(np.stack(gi["embedding"].to_numpy()).astype(np.float64))
+                mj = _norm(np.stack(gj["embedding"].to_numpy()).astype(np.float64))
+                ii, jj = np.nonzero(mi @ mj.T >= threshold)
+                lo = np.minimum(ids_i[ii], ids_j[jj])
+                hi = np.maximum(ids_i[ii], ids_j[jj])
+                aa.extend(lo)
+                bb.extend(hi)
+        return pd.DataFrame({"a": pd.Series(aa, dtype="int64"),
+                             "b": pd.Series(bb, dtype="int64")})
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    # size buckets so one bucket holds only a few block-pair groups (memory
+    # bound = groups-per-bucket × 2·block_rows rows)
+    n_combos = max(1, nb * (nb + 1) // 2)
+    nbuckets = int(min(512, max(32, n_combos)))
+    exploded = emb_ds.map_batches(explode_blockpairs, batch_format="pyarrow",
+                                  batch_size=2048)
+    return bucketed_group_apply(exploded, ["lbl", "bi", "bj"],
+                                verify_blockpair,
+                                num_buckets=nbuckets).sort(["a", "b"])
 
 
 def q_dedup_embedding(sf_dir: str):
-    """Same-label pairwise cosine ≥ threshold over the embeddings table.
-    Batch side: one f64 matmul per label block (labels partition the data —
-    groupby(label) then a dense similarity inside the group)."""
+    """Same-label pairwise cosine ≥ threshold over the embeddings table
+    (exact block-pair path — see ``embedding_pairs_exact``)."""
     import ray.data as rd
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (m / norms) @ (m / norms).T
-        order = np.argsort(ids, kind="stable")
-        ids_s = ids[order]
-        sims = sims[np.ix_(order, order)]
-        ii, jj = np.nonzero(np.triu(sims >= EMB_DUP_THRESHOLD, k=1))
-        return pd.DataFrame({"a": ids_s[ii].astype(np.int64),
-                             "b": ids_s[jj].astype(np.int64)})
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_pairs_exact(ds)
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet") \
-        .groupby("label").map_groups(pairs, batch_format="pandas") \
-        .sort(["a", "b"])
+
+def embedding_pairs_lsh(emb_ds, threshold: float = 0.9, seed: int = 42,
+                        n_bands: int = 24, band_bits: int = 8,
+                        id_col: str = "vec_id"):
+    """Approximate embedding near-dup via sign-bit (random-hyperplane) LSH:
+    band → bucket groupby → candidate pairs → exact-cosine verify through
+    the bucketed pair join. The scale path for REAL near-dup thresholds:
+    for cosine ≥ 0.9 the per-plane collision prob is 1 − acos(0.9)/π ≈ 0.86,
+    so 24 bands × 8 bits give ~0.9997 recall while a band bucket holds only
+    hash-colliding vectors (no all-pairs, no replication). NOT usable for
+    the oracle's τ=0.35 (collision prob 0.61 → either no pruning or no
+    recall — that regime is inherently all-pairs; use
+    ``embedding_pairs_exact``)."""
+    dim = len(emb_ds.take(1)[0]["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim))
+    pow2 = (1 << np.arange(band_bits, dtype=np.int64))
+
+    def bands(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col).to_pylist(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "val": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        m = np.stack(b.column("embedding").to_pylist()).astype(np.float64)
+        bits = (m @ planes.T) > 0                      # (n, bands*bits)
+        bits = bits.reshape(len(ids), n_bands, band_bits)
+        vals = (bits * pow2).sum(axis=2)               # (n, bands)
+        band_idx = np.broadcast_to(np.arange(n_bands, dtype=np.int32),
+                                   vals.shape)
+        return pa.table({
+            "band": pa.array(band_idx.ravel(), pa.int32()),
+            "val": pa.array(vals.astype(np.int64).ravel(), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64())})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        aa, bb = [], []
+        for _, g in df.groupby(["band", "val"], sort=True):
+            ids = sorted(set(int(x) for x in g["doc_id"]))
+            if len(ids) < 2 or len(ids) > 500:   # skew guard
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    aa.append(ids[i])
+                    bb.append(ids[j])
+        return pd.DataFrame({"a": pd.Series(aa, dtype="int64"),
+                             "b": pd.Series(bb, dtype="int64")})
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    candidates = bucketed_group_apply(
+        emb_ds.map_batches(bands, batch_format="pyarrow", batch_size=4096),
+        ["band", "val"], bucket_pairs)
+    candidates = bucketed_group_apply(
+        candidates, ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"])).materialize()
+
+    def emb_payload(batch: pa.Table, i: int) -> list[float]:
+        return batch.column("embedding")[i].as_py()
+
+    def cosine_score(ea, eb) -> float | None:
+        va = np.asarray(ea, dtype=np.float64)
+        vb = np.asarray(eb, dtype=np.float64)
+        na, nb_ = np.linalg.norm(va), np.linalg.norm(vb)
+        if na == 0 or nb_ == 0:
+            return None
+        c = float(va @ vb / (na * nb_))
+        return round(c, 6) if c >= threshold else None
+
+    return _verified_pair_join(candidates, emb_ds, id_col, emb_payload,
+                               pa.list_(pa.float32()), cosine_score,
+                               score_col="cosine")
 
 
 SQL_DEDUP_EMBEDDING = f"""

@@ -44,16 +44,25 @@ def extract_stage(pages_ds, labels: list[str] | None = None,
                   dedup: bool = True, langs: tuple[str, ...] | None = None):
     """pages → doc_extracts (nested mentions/triples per doc).
 
-    Input dedup (keep newest warc_ts per url) runs AFTER html→text
-    extraction: the shuffle then moves text rows, not multi-MB html payloads
-    (~3× smaller at bench scale; html never crosses the object store). The
-    cost is text-extracting the ~1% duplicate pages twice — embarrassingly
-    parallel; the result is identical (the winning row's text is what the
-    scorer sees either way)."""
+    Input dedup (keep newest warc_ts per url) is SHUFFLE-FREE: a cheap
+    (url, warc_ts) projection pass finds urls that actually repeat, the
+    winner per dup url is broadcast (bounded by the shard's duplicate
+    count, never its url count), and losers are dropped by a stateless
+    filter BEFORE extraction. Round 1 deduped post-extraction via an
+    AllToAll sort over every nested extract row just to drop ~1% dups —
+    that shuffle (and the wasted duplicate scoring) is gone."""
     cfg = config or DEFAULT_CONFIG
     ds = pages_ds
     if langs:
         ds = filter_lang(ds, langs)
+    if dedup:
+        import ray
+
+        from ..stages.extract import dup_url_winners, filter_dup_losers
+
+        winners = dup_url_winners(ds)
+        if winners:
+            ds = filter_dup_losers(ds, ray.put(winners))
     docs = ds.map_batches(extract_docs, batch_format="pyarrow")
     # FIXED pool size: autoscaling (1, cap) was measured 2.8× slower on a
     # 40k-page run — the ramp leaves most of the pool idle for the first
@@ -66,14 +75,6 @@ def extract_stage(pages_ds, labels: list[str] | None = None,
         batch_size=cfg.scorer_batch_size,
         concurrency=_pool_size(cfg.scorer_concurrency),
     )
-    if dedup:
-        # dedup LAST (Arrow-native, nested-safe): the shuffle moves compact
-        # result rows; placing it mid-chain broke map fusion and was
-        # measured 1.8× slower, and shuffling raw pages moved html payloads
-        from ..stages.shuffle import first_per_key_arrow
-
-        extracts = first_per_key_arrow(extracts, "url", "warc_ts",
-                                       ascending=False)
     return extracts
 
 

@@ -55,10 +55,12 @@ def partial_canonical(batch: pa.Table, salts: int = DEFAULT_SALTS) -> pa.Table:
         acc[norm] = (int(cnt), {}, set())
     for (norm, label), cnt in df.groupby(["norm", "label"]).size().items():
         acc[norm][1][label] = int(cnt)
+    # alias sample = lexicographically SMALLEST _MAX_ALIASES of the batch's
+    # distinct surfaces (trimmed at emit below): min-k is a semilattice, so
+    # every downstream min-k-of-union layer is independent of batch
+    # boundaries — a first-k sample in iteration order was not (ADVICE r1)
     for norm, text in df[["norm", "text"]].drop_duplicates().itertuples(index=False):
-        al = acc[norm][2]
-        if len(al) < _MAX_ALIASES:
-            al.add(text)
+        acc[norm][2].add(text)
     norms = sorted(acc)
     first = surfaces[0] if surfaces else ""
     return pa.table({
@@ -72,7 +74,8 @@ def partial_canonical(batch: pa.Table, salts: int = DEFAULT_SALTS) -> pa.Table:
         "label_counts": pa.array(
             [json.dumps(acc[n][1], sort_keys=True) for n in norms], pa.string()),
         "aliases": pa.array(
-            [json.dumps(sorted(acc[n][2])) for n in norms], pa.string()),
+            [json.dumps(sorted(acc[n][2])[:_MAX_ALIASES]) for n in norms],
+            pa.string()),
     })
 
 
@@ -231,6 +234,14 @@ def alias_components(pairs_ds, driver_budget: int = 2_000_000) -> dict[int, int]
                               batch.column("root").to_pylist()):
             if node != root:
                 out[int(node)] = int(root)
+    # defensive path compression: converged min-label output has no chains
+    # (root is the component minimum), so this is a no-op unless upstream
+    # semantics ever regress — cheap insurance on a merged-surface-sized map
+    for k in list(out):
+        r = out[k]
+        while r in out:
+            r = out[r]
+        out[k] = r
     return out
 
 
@@ -246,53 +257,118 @@ def components_driver(pairs_ds) -> dict[int, int]:
     return {k: v for k, v in uf.components().items() if k != v}
 
 
-def components_distributed(pairs_ds, max_iter: int = 10):
-    """Iterative min-label propagation via groupby — the scale path when the
-    pair set exceeds driver memory. Each round: label(n) = min(label over
-    neighbors ∪ self); converges in O(component diameter) rounds.
+def components_distributed(pairs_ds, max_rounds: int = 64):
+    """Connected components by distributed min-label propagation WITH pointer
+    jumping — the scale path when the pair set exceeds driver memory.
 
-    Returns a Dataset of (node_id, root) with root < node_id only for merged
-    nodes."""
-    import ray.data as rd
+    Everything stays a Dataset: labels are never collected to the driver,
+    relabeling is a bucketized hash-join (edge rows and label rows
+    co-located by the join key in one hash bucket), and the per-round merge
+    is ``bucketed_named_agg(min)`` — one vectorized pandas call per bucket
+    (round 1 pulled every (node, root) row into a driver dict per iteration
+    and relabeled via one-group-per-node map_groups; both anti-patterns are
+    gone). Pointer jumping (each round also propagates root ← root-of-root)
+    makes convergence O(log diameter) rounds instead of O(diameter).
 
-    def expand(b: pa.Table) -> pa.Table:
+    Convergence is CHECKED (a distributed changed-row count), not assumed:
+    the loop runs until a fixpoint and raises if ``max_rounds`` (a safety
+    valve far above log2 of any real component) is hit first — a truncated
+    label set would silently split components (ADVICE round 1).
+
+    Returns a Dataset of (node, root); root < node only for merged nodes."""
+    from .shuffle import bucketed_group_apply, bucketed_named_agg
+
+    _KEYED = pa.schema([("key", pa.int64()), ("node", pa.int64()),
+                        ("root", pa.int64()), ("is_label", pa.int32())])
+
+    def expand_cands(b: pa.Table) -> pa.Table:
+        """pairs → initial candidate rows (node, cand): both directions +
+        self-loops, so every endpoint gets a label in round 0."""
         a = b.column("a").to_pylist()
         bb = b.column("b").to_pylist()
-        return pa.table({"node": pa.array(a + bb, pa.int64()),
-                         "nbr": pa.array(bb + a, pa.int64())})
+        return pa.table({"node": pa.array(a + bb + a + bb, pa.int64()),
+                         "cand": pa.array(bb + a + a + bb, pa.int64())})
 
-    edges = pairs_ds.map_batches(expand, batch_format="pyarrow")
-    labels = edges.groupby("node").map_groups(
-        lambda g: pd.DataFrame({"node": [g["node"].iloc[0]],
-                                "root": [int(min(g["nbr"].min(), g["node"].iloc[0]))]}),
-        batch_format="pandas")
-    edges_mat = edges.materialize()
-    for _ in range(max_iter):
-        lab_pd = labels.to_pandas()           # (node, root) — distinct nodes only
-        lab_map = dict(zip(lab_pd["node"], lab_pd["root"]))
+    def edge_key_rows(b: pa.Table) -> pa.Table:
+        """edges → join-probe rows keyed by the neighbor whose root we want."""
+        a = b.column("a").to_pylist()
+        bb = b.column("b").to_pylist()
+        n = len(a) * 2
+        return pa.table({"key": pa.array(bb + a, pa.int64()),
+                         "node": pa.array(a + bb, pa.int64()),
+                         "root": pa.array([0] * n, pa.int64()),
+                         "is_label": pa.array([0] * n, pa.int32())},
+                        schema=_KEYED)
 
-        def relabel(b: pa.Table, m=lab_map) -> pa.Table:
-            nodes = b.column("node").to_pylist()
-            nbrs = b.column("nbr").to_pylist()
-            return pa.table({
-                "node": pa.array(nodes, pa.int64()),
-                "nbr": pa.array([m.get(n, n) for n in nbrs], pa.int64()),
-            })
+    def label_build_rows(b: pa.Table) -> pa.Table:
+        """labels → join-build rows keyed by node, plus pointer-jump probe
+        rows keyed by root (yield cand = root-of-root)."""
+        nodes = b.column("node").to_pylist()
+        roots = b.column("root").to_pylist()
+        n = len(nodes)
+        return pa.table({"key": pa.array(nodes + roots, pa.int64()),
+                         "node": pa.array(nodes + nodes, pa.int64()),
+                         "root": pa.array(roots + [0] * n, pa.int64()),
+                         "is_label": pa.array([1] * n + [0] * n, pa.int32())},
+                        schema=_KEYED)
 
-        new_labels = edges_mat.map_batches(relabel, batch_format="pyarrow") \
-            .groupby("node").map_groups(
-                lambda g: pd.DataFrame({
-                    "node": [g["node"].iloc[0]],
-                    "root": [int(min(int(g["nbr"].min()),
-                                     lab_map.get(int(g["node"].iloc[0]),
-                                                 int(g["node"].iloc[0]))))]}),
-                batch_format="pandas").materialize()
-        new_pd = new_labels.to_pandas()
-        if new_pd.sort_values("node").reset_index(drop=True).equals(
-                lab_pd.sort_values("node").reset_index(drop=True)):
-            break
-        labels = new_labels
-    return labels
+    def join_roots(df: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket: label rows (is_label=1) build the key→root map;
+        probe rows look it up; label rows ALSO re-emit their own (node,
+        root) so the min-agg sees every node's current label without a
+        separate union pass."""
+        lab = df[df["is_label"] == 1]
+        m = dict(zip(lab["key"], lab["root"]))
+        probe = df[df["is_label"] == 0]
+        return pd.DataFrame({
+            "node": pd.concat([probe["node"], lab["node"]]).astype("int64"),
+            "cand": pd.concat([probe["key"].map(lambda k: m.get(k, k)),
+                               lab["root"]]).astype("int64")})
+
+    def fingerprint(ds) -> int:
+        """Order-independent label-set fingerprint: per-batch XOR of
+        h64(node|root) partials, XOR-combined on the driver — one streaming
+        map, no shuffle, and a tiny (one row per block) collect."""
+        def fp(b: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            nodes = _np.asarray(b.column("node").to_pylist(), dtype=_np.uint64)
+            roots = _np.asarray(b.column("root").to_pylist(), dtype=_np.uint64)
+            # splitmix-style per-row mix, XOR-reduced (assoc+comm)
+            x = (nodes * _np.uint64(0x9E3779B97F4A7C15)) ^ \
+                (roots * _np.uint64(0xBF58476D1CE4E5B9))
+            x ^= x >> _np.uint64(31)
+            acc = _np.bitwise_xor.reduce(x) if len(x) else _np.uint64(0)
+            return pa.table({"fp": pa.array([int(acc) & 0x7FFFFFFFFFFFFFFF],
+                                            pa.int64())})
+
+        out = 0
+        for row in ds.map_batches(fp, batch_format="pyarrow",
+                                  batch_size=None).take_all():
+            out ^= row["fp"]
+        return out
+
+    pairs_mat = pairs_ds.materialize()
+    labels = bucketed_named_agg(
+        pairs_mat.map_batches(expand_cands, batch_format="pyarrow"),
+        ["node"], {"root": ("cand", "min")}).materialize()
+    probes = pairs_mat.map_batches(edge_key_rows,
+                                   batch_format="pyarrow").materialize()
+    prev_fp = fingerprint(labels)
+
+    for _ in range(max_rounds):
+        builds = labels.map_batches(label_build_rows, batch_format="pyarrow")
+        cands = bucketed_group_apply(probes.union(builds), ["key"], join_roots)
+        labels = bucketed_named_agg(cands, ["node"],
+                                    {"root": ("cand", "min")}).materialize()
+        new_fp = fingerprint(labels)
+        if new_fp == prev_fp:
+            # roots are monotone non-increasing per node, so an equal
+            # fingerprint means an identical label set (up to h64 collision)
+            return labels
+        prev_fp = new_fp
+    raise RuntimeError(
+        f"components_distributed did not converge in {max_rounds} rounds")
 
 
 def apply_alias_merge(nodes_ds, alias_map: dict[int, int]):

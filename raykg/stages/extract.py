@@ -52,21 +52,141 @@ def dedup_pages(pages_ds, num_buckets: int = 32):
     (SURVEY.md §7.3: hash-partition + per-key max).
 
     This is a full shuffle of the page rows (html included) — the
-    scale-correct formulation: rows sharing a url MUST be co-located to pick
-    a winner. Implemented as a bucketized hash partition with a VECTORIZED
-    in-bucket sort+drop_duplicates (raykg.stages.shuffle), not per-url
-    map_groups. An alternative that avoids moving html — aggregate
-    (url → max ts) small-side then semi-join — trades the shuffle for a
-    broadcast that cannot hold 10^12 urls; rejected.
+    scale-correct formulation when the caller needs the SHUFFLED dataset:
+    rows sharing a url MUST be co-located to pick a winner. Implemented as
+    a bucketized hash partition with a VECTORIZED in-bucket
+    sort+drop_duplicates (raykg.stages.shuffle), not per-url map_groups.
 
-    NOTE: the KG pipeline itself dedups AFTER extraction
-    (raykg.pipelines.kg.extract_stage uses first_per_key_arrow on the
-    doc-extract rows) so html never crosses the object store; this
-    pre-extraction variant remains for callers that need raw-page dedup."""
+    NOTE: the KG pipeline itself uses the shuffle-FREE variant
+    (``dup_url_winners`` + ``filter_dup_losers``): only urls that actually
+    repeat are broadcast (bounded by the shard's duplicate count — NOT all
+    10^12 urls), and losers are dropped by a stateless filter before
+    extraction, so neither html nor extract rows ever cross the object
+    store for dedup."""
+    from hashlib import md5
+
     from .shuffle import first_per_key
 
-    return first_per_key(pages_ds, ["url"], "warc_ts", ascending=False,
-                         num_buckets=num_buckets)
+    def add_h(batch: pa.Table) -> pa.Table:
+        # content tiebreak for exact (url, warc_ts) ties → winner is stable
+        # across runs/resumes regardless of row delivery order
+        return batch.append_column(
+            "__h__", pa.array([md5(h or b"").hexdigest()
+                               for h in batch.column("html").to_pylist()],
+                              pa.string()))
+
+    deduped = first_per_key(pages_ds.map_batches(add_h, batch_format="pyarrow"),
+                            ["url"], "warc_ts", ascending=False,
+                            num_buckets=num_buckets, tiebreak_cols=["__h__"])
+    return deduped.drop_columns(["__h__"])
+
+
+def dup_url_winners(pages_ds, num_buckets: int = 32) -> dict:
+    """url → winning row key, for urls appearing MORE THAN ONCE.
+
+    Pass 1 aggregates a (url, warc_ts) PROJECTION (column-pruned read — html
+    never leaves storage) into per-url (count, max_ts, rows_at_max); only
+    repeated urls survive, so the returned dict is bounded by the shard's
+    duplicate count, not its url count. Pass 2 (rare: max-ts TIES) reads
+    html for just the tied urls and picks the lexicographically smallest
+    md5 — a deterministic content tiebreak, so resume/retry keeps the same
+    winner regardless of row order (ADVICE round 1).
+
+    Returns {url: (max_ts, winner_md5 | None)}; empty dict = no dups."""
+    import pandas as pd
+
+    from .shuffle import bucketed_group_apply
+
+    proj = pages_ds.select_columns(["url", "warc_ts"])
+
+    def winner_meta(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url", as_index=False).agg(
+            n=("warc_ts", "size"), max_ts=("warc_ts", "max"))
+        g = g[g["n"] > 1]
+        if g.empty:
+            return pd.DataFrame({"url": pd.Series(dtype="object"),
+                                 "max_ts": pd.Series(dtype="datetime64[us]"),
+                                 "tied": pd.Series(dtype="bool")})
+        at_max = df.merge(g[["url", "max_ts"]], on="url")
+        at_max = at_max[at_max["warc_ts"] == at_max["max_ts"]]
+        ties = at_max.groupby("url").size()
+        g["tied"] = g["url"].map(ties).fillna(1).astype(int) > 1
+        return g[["url", "max_ts", "tied"]]
+
+    meta = bucketed_group_apply(proj, ["url"], winner_meta,
+                                num_buckets=num_buckets)
+    winners: dict = {}
+    tied_urls: list[str] = []
+    for bt in meta.iter_batches(batch_size=65536, batch_format="pandas"):
+        for url, ts, tied in bt.itertuples(index=False):
+            winners[url] = (ts, None)
+            if tied:
+                tied_urls.append(url)
+    if tied_urls:
+        from hashlib import md5
+
+        tied_set = set(tied_urls)
+
+        def tie_hashes(batch: pa.Table) -> pa.Table:
+            urls, hs, tss = [], [], []
+            for u, ts, h in zip(batch.column("url").to_pylist(),
+                                batch.column("warc_ts").to_pylist(),
+                                batch.column("html").to_pylist()):
+                if u in tied_set:
+                    urls.append(u)
+                    tss.append(ts)
+                    hs.append(md5(h or b"").hexdigest())
+            return pa.table({"url": pa.array(urls, pa.string()),
+                             "warc_ts": pa.array(tss, pa.timestamp("us")),
+                             "h": pa.array(hs, pa.string())})
+
+        tied_rows = pages_ds.map_batches(tie_hashes, batch_format="pyarrow")
+        for bt in tied_rows.iter_batches(batch_size=65536,
+                                         batch_format="pandas"):
+            for u, ts, h in bt.itertuples(index=False):
+                max_ts, best = winners[u]
+                if ts == max_ts and (best is None or h < best):
+                    winners[u] = (max_ts, h)
+    return winners
+
+
+def filter_dup_losers(pages_ds, winners_ref):
+    """Stateless dedup filter: drop rows that lose to the broadcast winner
+    (``dup_url_winners`` output via ``ray.put``). Urls absent from the map
+    are unique — kept without any hashing."""
+    import ray
+
+    def f(batch: pa.Table) -> pa.Table:
+        w = ray.get(winners_ref)
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        keep = []
+        html_col = None
+        seen_winners: set = set()     # collapse BYTE-IDENTICAL tied rows
+        for i, (u, ts) in enumerate(zip(urls, tss)):
+            got = w.get(u)
+            if got is None:
+                keep.append(i)
+                continue
+            max_ts, best = got
+            if ts != max_ts:
+                continue
+            if best is not None:
+                from hashlib import md5
+
+                if html_col is None:
+                    html_col = batch.column("html").to_pylist()
+                if md5(html_col[i] or b"").hexdigest() != best:
+                    continue
+                if u in seen_winners:   # full-row duplicate within batch
+                    continue
+                seen_winners.add(u)
+            keep.append(i)
+        if len(keep) == len(urls):
+            return batch
+        return batch.take(pa.array(keep, pa.int64()))
+
+    return pages_ds.map_batches(f, batch_format="pyarrow")
 
 
 def filter_lang(ds, langs: tuple[str, ...] = ("en",)):

@@ -71,13 +71,22 @@ def bucketed_named_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]],
 
 
 def first_per_key(ds, keys: list[str], order_by: str, ascending: bool = False,
-                  num_buckets: int = DEFAULT_BUCKETS):
+                  num_buckets: int = DEFAULT_BUCKETS,
+                  tiebreak_cols: list[str] | None = None):
     """Keep one deterministic winner row per key (e.g. newest by timestamp):
-    vectorized sort + drop_duplicates inside each bucket."""
+    vectorized sort + drop_duplicates inside each bucket.
+
+    ``tiebreak_cols`` (ascending) break exact (key, order_by) ties by
+    CONTENT instead of delivery order, so the winner is stable across runs
+    and resumes even when two rows share the primary order value (ADVICE
+    round 1). Callers with payload columns that aren't directly sortable
+    should pre-compute a content-hash column and pass it here."""
+    tb = tiebreak_cols or []
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values([*keys, order_by],
-                             ascending=[True] * len(keys) + [ascending],
+        return g.sort_values([*keys, order_by, *tb],
+                             ascending=[True] * len(keys) + [ascending]
+                             + [True] * len(tb),
                              kind="stable").drop_duplicates(keys, keep="first")
 
     return bucketed_group_apply(ds, keys, pick, num_buckets)

@@ -23,10 +23,14 @@ from dataclasses import dataclass, field
 
 
 def shard_fingerprint(files: list[str]) -> str:
+    """Identity of a shard's inputs: name + size + mtime_ns per file.
+    mtime_ns catches same-size rewrites (common for fixed-width or
+    re-generated parquet), which a name+size fingerprint silently missed
+    (ADVICE round 1)."""
     parts = []
     for f in sorted(files):
         st = os.stat(f)
-        parts.append(f"{os.path.basename(f)}:{st.st_size}")
+        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
     return "|".join(parts)
 
 

@@ -97,6 +97,46 @@ def test_viterbi_deterministic_and_cached():
     assert tok.ids("") == [3]  # UNK
 
 
+def test_unigram_vocab_loader(tmp_path):
+    """Real tokenizer.json path (mirrors TokenizerParityTests.swift:12-44):
+    exact ids from a miniature unigram vocab, Viterbi preferring the
+    higher-scoring segmentation, added_tokens honored, per-char UNK
+    fallback, and the synthetic fallback when no file exists."""
+    import json
+
+    from raykg.core.tokenizer import WordTokenizer, normalize
+    from raykg.core.vocab import UnigramVocab
+
+    vocab = [["[UNK]", -10.0], ["[PAD]", 0.0], ["[CLS]", 0.0], ["[SEP]", 0.0],
+             ["▁", -2.0], ["▁he", -3.0], ["▁hel", -2.5], ["lo", -1.0],
+             ["l", -4.0], ["o", -4.0], ["h", -5.0], ["e", -5.0],
+             ["▁lo", -3.5], ["w", -6.0]]
+    spec = {"model": {"type": "Unigram", "unk_id": 0, "vocab": vocab},
+            "added_tokens": [{"id": 99, "content": "<<ENT>>"}]}
+    (tmp_path / "tokenizer.json").write_text(json.dumps(spec))
+
+    v = UnigramVocab.load(str(tmp_path))
+    assert (v.unk_id, v.pad_id, v.cls_id, v.sep_id) == (0, 1, 2, 3)
+    assert v.token_id("<<ENT>>") == 99
+
+    # "hello" → "▁hello": best path ▁hel(-2.5)+lo(-1.0) = -3.5 beats
+    # ▁he(-3)+l(-4)+lo… — exact ids [6, 7]
+    ids, toks = v.tokenize_normalized(normalize("hello"))
+    assert ids == [6, 7] and toks == ["▁hel", "lo"]
+    # per-char UNK fallback: 'z' has no piece ("zo" normalizes to "▁zo")
+    ids2, toks2 = v.tokenize_normalized(normalize("zo"))
+    assert ids2 == [4, 0, 9] and toks2 == ["▁", "[UNK]", "o"]
+
+    # WordTokenizer facade: real vocab when dir given, synthetic otherwise
+    wt = WordTokenizer(seed=42, vocab_dir=str(tmp_path))
+    assert wt.ids("hello") == [6, 7]
+    wt_syn = WordTokenizer(seed=42, vocab_dir=None)
+    assert wt_syn.vocab is None and wt_syn.ids("hello")  # synthetic path
+
+    # per-directory cache returns the same parsed instance
+    assert UnigramVocab.load(str(tmp_path)) is v
+
+
 def test_schema_encoding_shapes():
     tok = WordTokenizer(42)
     enc = encode_schema("John Smith works at Apple Inc.", ["person", "organization"],

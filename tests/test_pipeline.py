@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -244,6 +245,55 @@ def test_components_distributed_matches_driver(ray_session):
     got = dict(zip(lab["node"], lab["root"]))
     # {1,2,3,8} → root 1; {5,6} → root 5
     assert got[2] == 1 and got[3] == 1 and got[8] == 1 and got[6] == 5
+
+
+def test_components_distributed_long_chain_and_random(ray_session):
+    """The distributed path must return the TRUE component minimum on
+    graphs whose diameter exceeds round 1's silent iteration cap (a 40-node
+    chain), and byte-match driver union-find on a random graph."""
+    import ray.data as rd
+
+    from raykg.stages.canonicalize import (components_distributed,
+                                           components_driver)
+
+    # 40-node chain, worst labels-flow direction (min id at the far end)
+    chain = pd.DataFrame({"a": list(range(40, 1, -1)),
+                          "b": list(range(39, 0, -1))})
+    lab = components_distributed(rd.from_pandas(chain)).to_pandas()
+    got = dict(zip(lab["node"], lab["root"]))
+    assert all(got[n] == 1 for n in range(2, 41))
+
+    rng = np.random.default_rng(3)
+    aa = rng.integers(0, 400, size=300)
+    off = rng.integers(1, 50, size=300)
+    rand = pd.DataFrame({"a": aa, "b": aa + off})
+    ds = rd.from_pandas(rand).materialize()
+    lab2 = components_distributed(ds).to_pandas()
+    dist_map = {int(n): int(r) for n, r in zip(lab2["node"], lab2["root"])
+                if n != r}
+    assert dist_map == components_driver(ds)
+
+
+def test_alias_components_budget_zero_equals_driver(ray_session):
+    """alias_components(driver_budget=0) (forces the distributed CC leg)
+    must produce the same rewrite map as the driver union-find leg."""
+    import ray.data as rd
+
+    from raykg.core.canonical import node_id
+    from raykg.stages.canonicalize import alias_components, alias_pairs
+
+    surfaces = ["acme analytics", "acme analytic", "acme analytica",
+                "zeta metrics", "zeta metric", "unrelated thing"]
+    nodes = rd.from_pandas(pd.DataFrame({
+        "node_id": [node_id(s) for s in surfaces],
+        "canonical": surfaces,
+        "label": ["organization"] * 6,
+        "aliases": [[s] for s in surfaces],
+        "mention_count": [5, 1, 1, 3, 1, 2],
+    }))
+    pairs = alias_pairs(nodes).materialize()
+    assert alias_components(pairs, driver_budget=0) == \
+        alias_components(pairs, driver_budget=10**9)
 
 
 def test_links_referential_integrity(ray_session, extracts):
