@@ -134,6 +134,19 @@ def _kg_label_report(sf_dir: str):
                                 num_buckets=4).sort("label")
 
 
+def _legacy_mentions(sf_dir: str):
+    """M5+A8: the GLiNER1 legacy path (prompted encode → BiLSTM/FFN span
+    scorer → greedy overlap decode) over the page corpus — actor pool, flat
+    mention rows (no_oracle: model-scored; pytest pins a golden)."""
+    from raykg.stages.extract import extract_docs
+    from raykg.stages.mention import LegacyMentionExtractor
+
+    docs = pages_dataset(sf_dir).map_batches(extract_docs, batch_format="pyarrow")
+    return docs.map_batches(LegacyMentionExtractor, batch_format="pyarrow",
+                            batch_size=64, concurrency=4) \
+        .sort(["doc_id", "start", "end"])
+
+
 def _schema_extract(sf_dir: str):
     """Distributed multi-task GLiNER2.extract over the page corpus."""
     from raykg.config import Schema
@@ -158,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_links": _kg_links,
         "kg_label_report": _kg_label_report,
         "schema_extract": _schema_extract,
+        "legacy_mentions": _legacy_mentions,
         # relational operator layer (TPC-H-ish)
         "lineitem_agg": relational.q_lineitem_agg,
         "mktsegment_orders": relational.q_mktsegment_orders,
@@ -175,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_hash": textstats.q_content_hash,
         "langid": textstats.q_langid,
         "fingerprint": textstats.q_fingerprint,
+        "fingerprint_kgram": textstats.q_fingerprint_kgram,
         # deduplication
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
@@ -207,8 +222,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dedup.SQL_NGRAM_JACCARD,
         "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
         "knn": similarity.SQL_KNN,
-        # omitted on purpose (non-SQL-expressible): kg_* (model-scored
-        # extraction), langid (heuristic model), dedup_minhash /
-        # dedup_simhash (sketches), knn_ivf (approximate), media_meta
-        # (binary parsing) — covered by pytest parity/recall gates.
+        "langid": textstats.SQL_LANGID,
+        "fingerprint_kgram": textstats.SQL_FINGERPRINT_KGRAM,
+        "media_meta": multimodal.SQL_MEDIA_META,
+        # omitted on purpose (non-SQL-expressible): kg_* + legacy_mentions
+        # (model-scored extraction), fingerprint (winnowing needs modular
+        # rolling-hash state SQL lacks; the k-gram variant above covers the
+        # fingerprint math), dedup_minhash / dedup_simhash (sketches),
+        # knn_ivf (approximate) — covered by pytest parity/recall gates.
     }

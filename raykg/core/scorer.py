@@ -63,6 +63,10 @@ class SurrogateBackend:
         self._feat_cache: dict[str, tuple[float, float]] = {}
         self._prefix_cache: dict[tuple, np.ndarray] = {}
         self._scale = 1.0 / np.sqrt(self.core)
+        # A4 count head: fixed hash-seeded projection (built once per actor)
+        rng = np.random.default_rng(_h64(b"count_head", b"ch%d" % self.seed))
+        self._count_head = rng.standard_normal(
+            (config.max_count + 1, self.core)) * 0.02
 
     # -- A1: encoder ------------------------------------------------------
     def _embed_ids(self, ids: np.ndarray) -> np.ndarray:
@@ -200,14 +204,63 @@ class SurrogateBackend:
         return out
 
     # -- A4: count predictor ---------------------------------------------
-    def predict_count(self, prompt_embs: np.ndarray, n_words: int) -> int:
-        """argmax over count logits, clamped to max_count
-        (GLiNER2SpanPipeline.swift:173-198). The surrogate's count head emits
-        0 for empty text (→ decode returns [] exactly as predictedCount==0
-        does at GLiNERModel.swift:424) and max_count otherwise."""
-        if n_words == 0 or len(prompt_embs) == 0:
+    @staticmethod
+    def argmax_count(logits: np.ndarray, max_count: int) -> int:
+        """Reference-exact count decode (GLiNER2SpanPipeline.swift:174-198):
+        argmax with FIRST-max tie-break (strict ``>`` scan), clamped to
+        ``min(idx, maxCount)``; empty logits → 0."""
+        if logits is None or len(logits) == 0:
             return 0
-        return self.config.max_count
+        best_idx, best = 0, logits[0]
+        for i in range(1, len(logits)):
+            if logits[i] > best:
+                best = logits[i]
+                best_idx = i
+        return min(best_idx, max_count)
+
+    def count_logits(self, prompt_embs: np.ndarray, n_words: int) -> np.ndarray:
+        """Surrogate count head (GLiNER2CountPredictorModel.swift:18-51
+        analogue): a fixed hash-seeded linear head over the mean prompt
+        embedding → (max_count+1,) logits. Empty text yields an empty logits
+        vector (→ predictedCount 0 → decode returns [], the
+        GLiNERModel.swift:424 gate). A monotone +1.0/level bias dominates
+        the small projection noise, so the surrogate's argmax sits at
+        max_count for any non-empty prompt — the same effective behavior the
+        engine always had, now produced by the real logits→argmax→clamp
+        mechanism."""
+        if n_words == 0 or len(prompt_embs) == 0:
+            return np.empty(0)
+        n_levels = self.config.max_count + 1
+        w = self._count_head  # (n_levels, hidden), entries in ±0.02
+        mean = prompt_embs.mean(axis=0)
+        mean = mean / max(1e-9, np.linalg.norm(mean))
+        return w @ mean + np.arange(n_levels, dtype=np.float64)
+
+    def predict_count(self, prompt_embs: np.ndarray, n_words: int) -> int:
+        """A4: count logits → argmax → clamp (GLiNER2SpanPipeline.swift:117,
+        173-198)."""
+        return self.argmax_count(self.count_logits(prompt_embs, n_words),
+                                 self.config.max_count)
+
+    # -- A5: count-embed head (structure embeddings) ---------------------
+    def structure_embeddings(self, label_embs: np.ndarray,
+                             predicted_count: int) -> np.ndarray:
+        """A5 (GLiNER2CountEmbedModel.swift:32-60 +
+        GLiNER2SpanPipeline.swift:118-123): per-instance projections of the
+        label embeddings, prefix-TRIMMED to ``predictedCount`` (0 → empty).
+        Instance 0 — the only instance the span scorer consumes
+        (GLiNER2SpanScoreBuilder.swift:11-22) — is the identity projection,
+        so D1's scores are exactly the label-embedding dots; later instances
+        are deterministically phase-rotated placeholders (the real model's
+        extra instances are likewise unused by the entity path)."""
+        if predicted_count <= 0 or len(label_embs) == 0:
+            return np.empty((0, *label_embs.shape))
+        n = min(predicted_count, self.config.max_count)
+        out = np.empty((n, *label_embs.shape))
+        out[0] = label_embs
+        for c in range(1, n):
+            out[c] = np.roll(label_embs, c, axis=1) * (1.0 - 0.01 * c)
+        return out
 
     # -- D1: span-score builder ------------------------------------------
     _NOISE_CLIP = 2.5     # hash-noise term clipped to ±2.5 → a span with no
@@ -228,10 +281,17 @@ class SurrogateBackend:
         code, so the equivalence is also enforced by the parity gates.)"""
         word_embs, prompt_embs = self.forward(enc)
         n_labels = len(enc.entity_labels)
-        if self.predict_count(prompt_embs, len(enc.words)) == 0:
+        predicted_count = self.predict_count(prompt_embs, len(enc.words))
+        if predicted_count == 0:
+            # predictedCount==0 → no spans (GLiNERModel.swift:424)
             return np.empty((0, n_labels)), enc
         n_spans = len(enc.span_starts)
-        labels = np.stack([self.label_embedding(l) for l in enc.entity_labels])
+        # A5: structure embeddings trimmed to predictedCount; the span
+        # scorer consumes INSTANCE 0 only (GLiNER2SpanScoreBuilder.swift:15-22)
+        struct = self.structure_embeddings(
+            np.stack([self.label_embedding(l) for l in enc.entity_labels]),
+            predicted_count)
+        labels = struct[0]
 
         keep = None
         if threshold is not None and threshold >= 0.2 and n_spans:

@@ -176,28 +176,40 @@ class LangId:
     def __init__(self) -> None:
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
-    def predict(self, text: str) -> tuple[str, float]:
+    def predict_counts(self, text: str) -> tuple[str, int, int]:
+        """(pred_lang, n_stopword_hits_of_winner, n_words) — INTEGER
+        evidence, so the DuckDB oracle can reproduce the decision exactly
+        (float confidences round differently across engines)."""
         if any("一" <= c <= "鿿" for c in text[:400]):
-            return "zh", 1.0
+            return "zh", 0, 0
         words = _WORD_RE.findall(text.lower()[:2000])
         if not words:
-            return "und", 0.0
-        scores = {
-            lang: sum(1 for w in words if w in prof) / len(words)
+            return "und", 0, 0
+        counts = {
+            lang: sum(1 for w in words if w in prof)
             for lang, prof in self.profiles.items() if prof
         }
-        best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
-        if best[1] == 0.0:
-            return "und", 0.0
-        return best[0], round(best[1], 6)
+        best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        if best[1] == 0:
+            return "und", 0, len(words)
+        return best[0], best[1], len(words)
+
+    def predict(self, text: str) -> tuple[str, float]:
+        lang, n_stop, n_words = self.predict_counts(text)
+        if lang == "zh":
+            return "zh", 1.0
+        if n_words == 0 or n_stop == 0:
+            return lang, 0.0
+        return lang, round(n_stop / n_words, 6)
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        preds = [self.predict(t) for t in b.column("text").to_pylist()]
+        preds = [self.predict_counts(t) for t in b.column("text").to_pylist()]
         return pa.table({
             "doc_id": b.column("doc_id"),
             "lang": b.column("lang"),
             "pred_lang": pa.array([p[0] for p in preds], pa.string()),
-            "confidence": pa.array([p[1] for p in preds], pa.float64()),
+            "n_stop": pa.array([p[1] for p in preds], pa.int64()),
+            "n_words": pa.array([p[2] for p in preds], pa.int64()),
         })
 
 
@@ -208,6 +220,39 @@ def q_langid(sf_dir: str):
                            columns=["doc_id", "text", "lang"]) \
         .map_batches(LangId, batch_format="pyarrow", batch_size=4096,
                      concurrency=2).sort("doc_id")
+
+
+def _sql_stoplist(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang])) + "]"
+
+
+# Winner selection mirrors Python's max over (count, lang): a struct list
+# sorted ascending by (n, l) — the LAST element is the maximum, ties going
+# to the lexicographically larger language code.
+SQL_LANGID = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(substr(lower(text), 1, 2000),
+                            '[a-zàâçéèêëîïôûùüÿñæœäöüß]+') AS words,
+         regexp_matches(substr(text, 1, 400), '[\\x{{4e00}}-\\x{{9fff}}]') AS cjk
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, cjk, len(words) AS n_words,
+         list_sort([
+           {{'n': len(list_filter(words, x -> list_contains({_sql_stoplist('en')}, x))), 'l': 'en'}},
+           {{'n': len(list_filter(words, x -> list_contains({_sql_stoplist('de')}, x))), 'l': 'de'}},
+           {{'n': len(list_filter(words, x -> list_contains({_sql_stoplist('fr')}, x))), 'l': 'fr'}},
+           {{'n': len(list_filter(words, x -> list_contains({_sql_stoplist('es')}, x))), 'l': 'es'}}
+         ])[-1] AS best
+  FROM w)
+SELECT doc_id, lang,
+  CASE WHEN cjk THEN 'zh'
+       WHEN n_words = 0 OR best.n = 0 THEN 'und'
+       ELSE best.l END AS pred_lang,
+  CAST(CASE WHEN cjk THEN 0 ELSE best.n END AS BIGINT) AS n_stop,
+  CAST(CASE WHEN cjk THEN 0 ELSE n_words END AS BIGINT) AS n_words
+FROM c ORDER BY doc_id
+"""
 
 
 # -- rolling-hash fingerprint (winnowing) -----------------------------------
@@ -258,6 +303,40 @@ def winnow_fingerprints(text: str) -> list[int]:
             last = dq[0]
             out.append(int(hashes[last]))
     return out
+
+
+def q_fingerprint_kgram(sf_dir: str):
+    """SQL-checkable fingerprint variant: per-doc MINIMUM md5 over all
+    8-char k-grams (a k-gram min-hash — the winnowing family's simplest
+    member, chosen because DuckDB can enumerate the same k-grams with
+    generate_series and take the same min). ``q_fingerprint`` (full
+    winnowing) remains the production operator; this one exists to put the
+    fingerprint math under the SQL oracle. Short texts fall back to one
+    gram = the whole text, matching the SQL's clamped series."""
+    import ray.data as rd
+
+    def fp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        mins = []
+        for t in b.column("text").to_pylist():
+            grams = range(max(len(t) - 7, 1))
+            mins.append(min(hashlib.md5(t[i:i + 8].encode("utf-8")).hexdigest()
+                            for i in grams))
+        return pa.table({"doc_id": ids,
+                         "kgram_min": pa.array(mins, pa.string())})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(fp, batch_format="pyarrow", batch_size=4096).sort("doc_id")
+
+
+SQL_FINGERPRINT_KGRAM = """
+SELECT doc_id, min(md5(substr(text, i, 8))) AS kgram_min
+FROM (SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+      FROM documents)
+GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def q_fingerprint(sf_dir: str):

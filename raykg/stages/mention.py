@@ -23,6 +23,7 @@ import pyarrow as pa
 from ..config import DEFAULT_CONFIG, KG_LABELS, PipelineConfig
 from ..core.chunk import chunk_text, should_chunk
 from ..core.decode import Mention, adjust_offsets, decode_spans_with_text, merge_chunks
+from ..core.legacy import LegacySpanScorer
 from ..core.relations import RelationConfig, extract_triples
 from ..core.scorer import SurrogateBackend
 from ..core.tokenizer import encode_schema
@@ -89,6 +90,45 @@ class MentionExtractor:
         if "warc_ts" in batch.schema.names:   # passthrough for post-extract dedup
             cols["warc_ts"] = batch.column("warc_ts")
         return pa.table(cols)
+
+
+class LegacyMentionExtractor:
+    """Actor-pool UDF for the GLiNER1 legacy path (M5 + A8,
+    raykg.core.legacy): prompted encode → BiLSTM/FFN span scorer → greedy
+    overlap decode. Emits FLAT mention rows (the v1 API has no
+    relation/structure tasks, so there is nothing to co-locate)."""
+
+    def __init__(self, labels: list[str] | None = None,
+                 config: PipelineConfig | None = None,
+                 threshold: float | None = None) -> None:
+        self.config = (config or DEFAULT_CONFIG).with_threshold(threshold)
+        self.labels = labels or KG_LABELS
+        self.scorer = LegacySpanScorer(self.config)      # weights once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, urls, texts_o, labels_o, scores, starts, ends = \
+            [], [], [], [], [], [], []
+        for did, url, text in zip(batch.column("doc_id").to_pylist(),
+                                  batch.column("url").to_pylist(),
+                                  batch.column("text").to_pylist()):
+            for m in self.scorer.extract(text, self.labels,
+                                         self.config.threshold):
+                doc_ids.append(did)
+                urls.append(url)
+                texts_o.append(m.text)
+                labels_o.append(m.label)
+                scores.append(m.score)
+                starts.append(m.start)
+                ends.append(m.end)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "text": pa.array(texts_o, pa.string()),
+            "label": pa.array(labels_o, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+            "start": pa.array(starts, pa.int64()),
+            "end": pa.array(ends, pa.int64()),
+        })
 
 
 def _explode(batch: pa.Table, list_col: str, fields: list[str],

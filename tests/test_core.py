@@ -97,6 +97,118 @@ def test_viterbi_deterministic_and_cached():
     assert tok.ids("") == [3]  # UNK
 
 
+def test_legacy_prompted_encode():
+    """M5 (GLiNERTokenizer.swift:151-265): [CLS] <<ENT>> label … <<SEP>>
+    text [SEP]; word_mask marks first subwords 1-based; class positions at
+    each <<ENT>>; empty labels → [CLS][SEP]."""
+    from raykg.core.legacy import (ENT_TOKEN_ID, SEPT_TOKEN_ID,
+                                   encode_prompted)
+    from raykg.core.tokenizer import CLS_ID, SEP_ID, WordTokenizer
+
+    tok = WordTokenizer(seed=42)
+    enc = encode_prompted("Ada met Bo.", ["person", "place"], tok)
+    ids = list(enc.input_ids)
+    assert ids[0] == CLS_ID and ids[-1] == SEP_ID
+    assert [ids[p] for p in enc.class_positions] == [ENT_TOKEN_ID] * 2
+    assert ids.count(SEPT_TOKEN_ID) == 1
+    sep_pos = ids.index(SEPT_TOKEN_ID)
+    assert all(p < sep_pos for p in enc.class_positions)
+    # word_mask: 1-based first-subword markers for exactly the text words
+    marks = enc.word_mask[enc.word_mask > 0]
+    assert list(marks) == [1, 2, 3, 4] and enc.text_word_count == 4
+    assert (enc.word_mask[:sep_pos + 1] == 0).all()
+    assert enc.words == ["Ada", "met", "Bo", "."]
+
+    empty = encode_prompted("anything", [], tok)
+    assert list(empty.input_ids) == [CLS_ID, SEP_ID]
+    assert empty.class_positions == [] and empty.text_word_count == 0
+
+
+def test_legacy_span_scorer_golden():
+    """A8 golden: deterministic output on a fixed sentence; offsets index
+    the original text; empty inputs gate to []; two fresh scorers agree."""
+    from raykg.core.legacy import LegacySpanScorer
+
+    text = "Amelia Reed met Marcus Tanaka in Berlin. then they left."
+    sc = LegacySpanScorer()
+    got = [(m.text, m.start, m.end) for m in sc.extract(text, KG_LABELS)]
+    assert got == [("Amelia Reed", 0, 11), ("Marcus", 16, 22),
+                   ("Tanaka", 23, 29), ("Berlin", 33, 39)]
+    for m in sc.extract(text, KG_LABELS):
+        assert text[m.start:m.end] == m.text
+        assert 0.0 < m.score < 1.0
+    assert sc.extract("", KG_LABELS) == []
+    assert sc.extract(text, []) == []
+    sc2 = LegacySpanScorer()
+    assert sc2.extract(text, KG_LABELS) == sc.extract(text, KG_LABELS)
+    # no span survives a .99 threshold with surrogate weights
+    assert sc.extract(text, KG_LABELS, threshold=0.99) == []
+
+
+def test_legacy_bilstm_shapes():
+    """BiLSTM concatenates fwd/bwd per step (BiLSTM.swift:118) and is
+    sequence-order sensitive in each direction."""
+    from raykg.core.legacy import BiLSTM
+
+    rng = np.random.default_rng(1)
+    h, d = 3, 4
+    lstm = BiLSTM(rng.standard_normal((4 * h, d)), rng.standard_normal((4 * h, h)),
+                  rng.standard_normal(4 * h),
+                  rng.standard_normal((4 * h, d)), rng.standard_normal((4 * h, h)),
+                  rng.standard_normal(4 * h))
+    xs = rng.standard_normal((5, d))
+    out = lstm(xs)
+    assert out.shape == (5, 2 * h)
+    out_rev = lstm(xs[::-1])
+    assert not np.allclose(out, out_rev[::-1])
+    assert lstm(np.empty((0, d))).shape == (0, d)
+
+
+def test_count_heads(oracle):
+    """A4/A5 (GLiNER2SpanPipeline.swift:117-198,
+    GLiNER2CountPredictorModel.swift:18-51): argmax with first-max
+    tie-break, clamp to max_count, prefix trim of structure embeddings, and
+    the predictedCount gate between 0 and max output."""
+    b = oracle.backend
+
+    # argmax semantics: first max wins, clamp, empty → 0
+    assert b.argmax_count(np.array([]), 8) == 0
+    assert b.argmax_count(np.array([0.5, 2.0, 2.0, 1.0]), 8) == 1
+    assert b.argmax_count(np.array([0., 0., 0., 0., 9.]), 3) == 3   # clamp
+    assert b.argmax_count(np.array([7.0, 1.0]), 8) == 0
+
+    # surrogate head: empty text → 0; non-empty → max_count (monotone bias)
+    pe = np.ones((2, b.core))
+    assert b.predict_count(pe, 0) == 0
+    assert b.predict_count(np.empty((0, b.core)), 5) == 0
+    assert b.predict_count(pe, 12) == b.config.max_count
+    lg = b.count_logits(pe, 12)
+    assert len(lg) == b.config.max_count + 1
+    assert b.argmax_count(lg, b.config.max_count) == b.config.max_count
+
+    # A5: trim to predictedCount; instance 0 is identity (feeds D1)
+    labels = np.stack([np.arange(b.h, dtype=float),
+                       np.arange(b.h, dtype=float) * 2])
+    s3 = b.structure_embeddings(labels, 3)
+    assert s3.shape == (3, 2, b.h)
+    assert np.array_equal(s3[0], labels)
+    assert not np.array_equal(s3[1], labels)
+    assert b.structure_embeddings(labels, 0).shape == (0, 2, b.h)
+    assert b.structure_embeddings(labels, 99).shape[0] == b.config.max_count
+
+    # golden gate: predictedCount==0 forces [] even on entity-rich text
+    text = "Amelia Reed met Marcus Tanaka in Berlin."
+    normal = oracle.extract_mentions(text, KG_LABELS)
+    assert normal
+    orig = b.count_logits
+    try:
+        b.count_logits = lambda pe_, nw: np.array([5.0] + [0.0] * 8)
+        gated = oracle.extract_mentions(text + " gated-variant", KG_LABELS)
+        assert gated == []
+    finally:
+        b.count_logits = orig
+
+
 def test_unigram_vocab_loader(tmp_path):
     """Real tokenizer.json path (mirrors TokenizerParityTests.swift:12-44):
     exact ids from a miniature unigram vocab, Viterbi preferring the
