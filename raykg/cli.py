@@ -45,6 +45,20 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--labels", nargs="*", default=None)
     exp.add_argument("--threshold", type=float, default=None)
 
+    # defaults mirror the reference harness (BenchmarkCLI.swift:73-91):
+    # 5 iterations, 1 warmup, batch size 8, concurrency 1
+    bp = sub.add_parser("bench", help="latency / throughput benchmark over "
+                                      "JSONL fixtures (reference harness)")
+    bp.add_argument("--fixtures", default=None,
+                    help="benchmark JSONL; omitted → synthesize 50 samples")
+    bp.add_argument("--mode", choices=["latency", "throughput"],
+                    default="latency")
+    bp.add_argument("--iterations", type=int, default=5)
+    bp.add_argument("--warmup", type=int, default=1)
+    bp.add_argument("--batch-size", type=int, default=8)
+    bp.add_argument("--concurrency", type=int, default=1)
+    bp.add_argument("--quiet", action="store_true")
+
     sy = sub.add_parser("synth", help="materialize a synthetic pages corpus")
     sy.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sy.add_argument("--out", required=True)
@@ -75,6 +89,37 @@ def main(argv: list[str] | None = None) -> int:
             "triples": [{"subj": t.subj, "pred": t.pred, "obj": t.obj}
                         for t in triples],
         }, ensure_ascii=False, indent=1))
+        return 0
+
+    if args.cmd == "bench":
+        # single-process benchmark like the reference's (no Ray session)
+        import json as _json
+        import tempfile
+
+        from .oracle import Oracle
+        from .sources.fixtures import write_benchmark_jsonl
+        from .state.metrics import run_latency_mode, run_throughput_mode
+
+        path = args.fixtures
+        if path is None:
+            path = write_benchmark_jsonl(
+                tempfile.mktemp(prefix="raykg_fixtures_", suffix=".jsonl"))
+        samples = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    samples.append(_json.loads(line))
+        o = Oracle()
+        fn = o.extract_mentions
+        report = (lambda *_: None) if args.quiet else print
+        if args.mode == "latency":
+            stats = run_latency_mode(samples, fn, args.iterations,
+                                     args.warmup, report=report)
+        else:
+            stats = run_throughput_mode(samples, fn, args.iterations,
+                                        args.warmup, args.batch_size,
+                                        args.concurrency, report=report)
+        print(json.dumps(stats, indent=1))
         return 0
 
     if args.cmd == "run":

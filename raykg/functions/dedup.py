@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..sources.tables import read_table
 from ..stages.shuffle import _h64s
 
 _TOK_RE = re.compile(r"[a-z0-9_]+")
@@ -153,8 +154,7 @@ def q_dedup_exact(sf_dir: str):
                            for t in b.column("text").to_pylist()], pa.string()),
         })
 
-    hashed = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id", "text"]) \
+    hashed = read_table(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
     return bucketed_named_agg(hashed, ["h"],
                               {"keeper": ("doc_id", "min"),
@@ -238,8 +238,7 @@ def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42):
 def q_dedup_minhash(sf_dir: str):
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     return minhash_pairs(docs)
 
 
@@ -317,8 +316,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
 def q_dedup_simhash(sf_dir: str):
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(docs)
 
 
@@ -362,8 +360,7 @@ def q_ngram_jaccard(sf_dir: str):
 
     from ..stages.shuffle import bucketed_group_apply
 
-    emitted = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id", "text"]) \
+    emitted = read_table(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(emit, batch_format="pyarrow", batch_size=4096)
     return bucketed_group_apply(emitted, ["pair_id"], join_pairs).sort("a")
 
@@ -484,7 +481,7 @@ def q_dedup_embedding(sf_dir: str):
     (exact block-pair path — see ``embedding_pairs_exact``)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_table(sf_dir, "embeddings")
     return embedding_pairs_exact(ds)
 
 

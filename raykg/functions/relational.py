@@ -14,6 +14,8 @@ from datetime import datetime
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..sources.tables import read_table
 import pyarrow.compute as pc
 
 
@@ -88,8 +90,7 @@ def q_mktsegment_orders(sf_dir: str):
         return df.groupby("segment", as_index=False).agg(
             n_orders=("total_e2", "size"), total_e2=("total_e2", "sum"))
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey", "o_totalprice"])
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     partials = orders.map_batches(join_agg, batch_format="pyarrow", batch_size=65536)
     return bucketed_named_agg(partials, ["segment"],
                               {"n_orders": ("n_orders", "sum"),
@@ -120,8 +121,7 @@ def q_orders_monthly(sf_dir: str):
         return df.groupby("month", as_index=False).agg(
             n_orders=("total_e2", "size"), total_e2=("total_e2", "sum"))
 
-    partials = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_orderdate", "o_totalprice"]) \
+    partials = read_table(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
         .map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return bucketed_named_agg(partials, ["month"],
                               {"n_orders": ("n_orders", "sum"),
@@ -155,8 +155,7 @@ def q_top_parts(sf_dir: str):
         return df.groupby("l_partkey", as_index=False).agg(rev_e4=("rev_e4", "sum"))
 
     agg = bucketed_named_agg(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                        columns=["l_partkey", "l_extendedprice", "l_discount"])
+        read_table(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536),
         ["l_partkey"], {"rev_e4": ("rev_e4", "sum")}, num_buckets=16)
     top = agg.sort(["rev_e4", "l_partkey"], descending=[True, False]).limit(10)
@@ -192,8 +191,7 @@ def q_customers_without_orders(sf_dir: str):
         mask = pa.array([c not in ks for c in b.column("c_custkey").to_pylist()])
         return b.filter(mask)
 
-    return rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"]) \
+    return read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
         .map_batches(anti, batch_format="pyarrow", batch_size=None) \
         .sort("c_custkey")
 

@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..sources.tables import read_table
+
 TOP_K = 10
 QUERY_VEC_ID = 0
 IVF_PLANES = 6            # 64 cells
@@ -77,8 +79,7 @@ def q_knn(sf_dir: str):
         keep = ids != QUERY_VEC_ID
         return _batch_topk(ids[keep], cos[keep], TOP_K)
 
-    scores = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                             columns=["vec_id", "embedding"]) \
+    scores = read_table(sf_dir, "embeddings", ["vec_id", "embedding"]) \
         .map_batches(score, batch_format="pyarrow", batch_size=8192)
     return _topk_merge(scores, TOP_K)
 
@@ -144,8 +145,7 @@ def q_knn_ivf(sf_dir: str):
         keep = ids != QUERY_VEC_ID
         return _batch_topk(ids[keep], cos[keep], TOP_K)
 
-    indexed = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                              columns=["vec_id", "embedding"]) \
+    indexed = read_table(sf_dir, "embeddings", ["vec_id", "embedding"]) \
         .map_batches(_IvfIndexer, fn_constructor_kwargs={"dim": dim},
                      batch_format="pyarrow", batch_size=8192, concurrency=2)
     scores = indexed.map_batches(score_probed, batch_format="pyarrow")

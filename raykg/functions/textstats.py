@@ -14,6 +14,8 @@ import re
 import pandas as pd
 import pyarrow as pa
 
+from ..sources.tables import read_table
+
 _TOKEN_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
 _STOP_RE = re.compile(r"\b(?:the|a|of|to|and|in|is)\b")
 _ALPHA_RE = re.compile(r"[A-Za-z]")
@@ -38,8 +40,7 @@ def q_doc_stats(sf_dir: str):
             "n_stop": [len(_STOP_RE.findall(t.lower())) for t in texts],
         })
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]) \
+    return read_table(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(stats, batch_format="pyarrow", batch_size=8192) \
         .sort("doc_id")
 
@@ -72,8 +73,7 @@ def q_lang_dist(sf_dir: str):
         return df.groupby(["lang", "source"], as_index=False).agg(
             n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
 
-    partials = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["lang", "source", "n_chars"]) \
+    partials = read_table(sf_dir, "documents", ["lang", "source", "n_chars"]) \
         .map_batches(partial, batch_format="pyarrow", batch_size=8192)
     return bucketed_named_agg(partials, ["lang", "source"],
                               {"n_docs": ("n_docs", "sum"),
@@ -111,8 +111,7 @@ def q_quality(sf_dir: str):
             "is_quality": [bool(t >= 20 and s > 0) for t, s in zip(n_tok, n_stop)],
         })
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]) \
+    return read_table(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(quality, batch_format="pyarrow", batch_size=8192) \
         .sort("doc_id")
 
@@ -147,8 +146,7 @@ def q_content_hash(sf_dir: str):
                            for t in texts], pa.string()),
         })
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]) \
+    return read_table(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(h, batch_format="pyarrow", batch_size=8192).sort("doc_id")
 
 
@@ -216,8 +214,7 @@ class LangId:
 def q_langid(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "lang"]) \
+    return read_table(sf_dir, "documents", ["doc_id", "text", "lang"]) \
         .map_batches(LangId, batch_format="pyarrow", batch_size=4096,
                      concurrency=2).sort("doc_id")
 
@@ -325,8 +322,7 @@ def q_fingerprint_kgram(sf_dir: str):
         return pa.table({"doc_id": ids,
                          "kgram_min": pa.array(mins, pa.string())})
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]) \
+    return read_table(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(fp, batch_format="pyarrow", batch_size=4096).sort("doc_id")
 
 
@@ -362,6 +358,5 @@ def q_fingerprint(sf_dir: str):
             "fp_digest": pa.array(digests, pa.int64()),
         })
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]) \
+    return read_table(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(fp, batch_format="pyarrow", batch_size=4096).sort("doc_id")

@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..sources.tables import read_table
+
 SESSION_GAP_S = 1800
 
 
@@ -35,8 +37,7 @@ def q_events_hourly(sf_dir: str):
         return df.groupby(["event_type", "hour"], as_index=False).agg(
             n=("value_e6", "size"), value_e6=("value_e6", "sum"))
 
-    partials = rd.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["ts", "event_type", "value"]) \
+    partials = read_table(sf_dir, "events", ["ts", "event_type", "value"]) \
         .map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return bucketed_named_agg(partials, ["event_type", "hour"],
                               {"n": ("n", "sum"),
@@ -79,7 +80,7 @@ def q_sessions(sf_dir: str):
 
     from ..stages.shuffle import bucketed_group_apply
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
     return bucketed_group_apply(ev, ["user_id"], sessionize_bucket).sort("user_id")
 
 
@@ -107,8 +108,7 @@ def q_events_sliding(sf_dir: str):
         return df.groupby(["event_type", "win_start"], as_index=False).agg(
             n=("value_e6", "size"), value_e6=("value_e6", "sum"))
 
-    partials = rd.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["ts", "event_type", "value"]) \
+    partials = read_table(sf_dir, "events", ["ts", "event_type", "value"]) \
         .map_batches(partial, batch_format="pyarrow", batch_size=None)
     return bucketed_named_agg(partials, ["event_type", "win_start"],
                               {"n": ("n", "sum"),

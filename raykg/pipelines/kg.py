@@ -187,9 +187,24 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
         info["shards"] = len(shards)
         info["shards_skipped"] = skipped
 
-    extracts = rd.read_parquet(os.path.join(out_dir, "extracts"))
+    extracts_dir = os.path.join(out_dir, "extracts")
+    extracts = rd.read_parquet(extracts_dir)
     mentions = extracts.map_batches(explode_mentions, batch_format="pyarrow", batch_size=None)
     triples = extracts.map_batches(explode_triples, batch_format="pyarrow", batch_size=None)
+
+    # Phase 2 is checkpointed like phase 1: each output (nodes+alias map,
+    # edges, links) records the fingerprint of the extracts it was built
+    # from — a crash after extraction never redoes the canonicalize /
+    # aggregation shuffles on resume, and a changed extract set invalidates
+    # exactly the derived outputs. The alias map is persisted beside the
+    # nodes so a skipped node path can still finalize edges.
+    import glob as _glob
+    import json as _json
+
+    phase2_fp = shard_fingerprint(
+        sorted(_glob.glob(os.path.join(extracts_dir, "**", "*.parquet"),
+                          recursive=True))) + f"|alias={alias_merge}"
+    alias_path = os.path.join(out_dir, "alias_map.json")
 
     # Phase 2: the node path (canonicalize → alias CC → nodes) and the edge
     # AGGREGATION are independent dataset executions — run them concurrently
@@ -200,8 +215,16 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
     from ..stages.graph import aggregate_edges, finalize_edges
 
     alias_map: dict[int, int] = {}
+    nodes_done = (resume and manifest.done("phase2:nodes", phase2_fp)
+                  and os.path.isdir(os.path.join(out_dir, "nodes"))
+                  and os.path.exists(alias_path))
+    edges_done = (resume and manifest.done("phase2:edges", phase2_fp)
+                  and os.path.isdir(os.path.join(out_dir, "edges")))
 
     def node_path():
+        if nodes_done:
+            with open(alias_path) as f:
+                return {int(k): int(v) for k, v in _json.load(f).items()}
         with metrics.stage("canonicalize") as info:
             nodes_raw = canonicalize(mentions).materialize()
             n_nodes = nodes_raw.count()
@@ -218,9 +241,17 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
             info["rows"] = atomic_write_parquet(
                 materialize_nodes(nodes, approx_rows=n_nodes),
                 os.path.join(out_dir, "nodes"))
+        tmp = alias_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(amap, f)
+        os.replace(tmp, alias_path)
+        manifest.record("phase2:nodes", phase2_fp,
+                        {"rows": metrics.stages["nodes"]["rows"]})
         return amap
 
     def edge_agg_path():
+        if edges_done:
+            return None, 0
         agg = aggregate_edges(triples).materialize()
         return agg, agg.count()
 
@@ -230,21 +261,31 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
             fut_edges = pool.submit(edge_agg_path)
             alias_map = fut_nodes.result()
             edges_agg, n_edges = fut_edges.result()
-        with metrics.stage("edges") as info:
-            info["rows"] = atomic_write_parquet(
-                finalize_edges(edges_agg, alias_map, approx_rows=n_edges),
-                os.path.join(out_dir, "edges"))
-        phase_info["rows"] = metrics.stages["edges"]["rows"]
+        if not edges_done:
+            with metrics.stage("edges") as info:
+                info["rows"] = atomic_write_parquet(
+                    finalize_edges(edges_agg, alias_map, approx_rows=n_edges),
+                    os.path.join(out_dir, "edges"))
+            manifest.record("phase2:edges", phase2_fp,
+                            {"rows": metrics.stages["edges"]["rows"]})
+        phase_info["rows"] = metrics.stages.get("edges", {}).get("rows", 0)
+        phase_info["nodes_skipped"] = nodes_done
+        phase_info["edges_skipped"] = edges_done
     if link:
-        with metrics.stage("links") as info:
-            import ray
+        links_done = (resume and manifest.done("phase2:links", phase2_fp)
+                      and os.path.isdir(os.path.join(out_dir, "links")))
+        if not links_done:
+            with metrics.stage("links") as info:
+                import ray
 
-            nodes_out = rd.read_parquet(os.path.join(out_dir, "nodes"))
-            catalog_ref = ray.put(build_catalog(nodes_out))
-            info["rows"] = atomic_write_parquet(
-                link_mentions(mentions, catalog_ref,
-                              concurrency=_pool_size(cfg.linker_concurrency),
-                              batch_size=cfg.linker_batch_size),
-                os.path.join(out_dir, "links"))
+                nodes_out = rd.read_parquet(os.path.join(out_dir, "nodes"))
+                catalog_ref = ray.put(build_catalog(nodes_out))
+                info["rows"] = atomic_write_parquet(
+                    link_mentions(mentions, catalog_ref,
+                                  concurrency=_pool_size(cfg.linker_concurrency),
+                                  batch_size=cfg.linker_batch_size),
+                    os.path.join(out_dir, "links"))
+            manifest.record("phase2:links", phase2_fp,
+                            {"rows": metrics.stages["links"]["rows"]})
     metrics.write(os.path.join(out_dir, "metrics.json"))
     return metrics.summary()

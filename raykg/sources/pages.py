@@ -201,10 +201,9 @@ def pages_batch(batch: pa.Table, seed: int = 42, repeat: int = 1) -> pa.Table:
 
 def pages_dataset(sf_dir: str, seed: int = 42, repeat: int = 1):
     """documents.parquet → synthetic pages Dataset (lazy, streaming)."""
-    import ray.data as rd
+    from .tables import read_table
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text", "lang"])
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
     return docs.map_batches(lambda b: pages_batch(b, seed, repeat),
                             batch_format="pyarrow")
 

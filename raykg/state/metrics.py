@@ -49,6 +49,90 @@ def benchmark_stats(latencies_ms: list[float], total_chars: int = 0,
     }
 
 
+def run_latency_mode(samples: list[dict], extract_fn, iterations: int = 5,
+                     warmup: int = 1, report=print) -> dict:
+    """Reference latency mode (BenchmarkCLI.swift:451-501): per sample,
+    ``warmup`` untimed runs then ``iterations`` timed runs; per-iteration
+    line output (padded 20-char id) and a G2 stats aggregate."""
+    from ..core.wordsplit import word_count
+
+    latencies: list[float] = []
+    total_chars = total_words = total_entities = 0
+    t0 = time.perf_counter()
+    for s in samples:
+        for _ in range(warmup):
+            extract_fn(s["text"], s["labels"], s.get("threshold"))
+        for it in range(iterations):
+            t = time.perf_counter()
+            entities = extract_fn(s["text"], s["labels"], s.get("threshold"))
+            ms = (time.perf_counter() - t) * 1000.0
+            latencies.append(ms)
+            total_chars += len(s["text"])
+            total_words += word_count(s["text"])
+            total_entities += len(entities)
+            report(f"{s['id'][:20]:<20} | iter {it + 1} | {ms:.2f} ms")
+    stats = benchmark_stats(latencies, total_chars, total_entities,
+                            wall_s=time.perf_counter() - t0)
+    stats["mode"] = "latency"
+    stats["words_analyzed"] = total_words
+    stats["fixtures"] = len(samples)
+    return stats
+
+
+def run_throughput_mode(samples: list[dict], extract_fn, iterations: int = 5,
+                        warmup: int = 1, batch_size: int = 8,
+                        concurrency: int = 1, report=print) -> dict:
+    """Reference throughput mode (BenchmarkCLI.swift:503-659): fixtures
+    chunked into batches; per batch, warmup then ``iterations`` timed
+    passes with BOUNDED concurrency (at most ``concurrency`` in-flight
+    extractions); records per-sample and per-batch latencies."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..core.wordsplit import word_count
+
+    batch_size = max(batch_size, 1)
+    concurrency = max(concurrency, 1)
+    batches = [samples[i:i + batch_size]
+               for i in range(0, len(samples), batch_size)]
+    latencies: list[float] = []
+    batch_latencies: list[float] = []
+    total_chars = total_words = total_entities = 0
+    t0 = time.perf_counter()
+
+    def one(s: dict) -> tuple[float, int]:
+        t = time.perf_counter()
+        ents = extract_fn(s["text"], s["labels"], s.get("threshold"))
+        return (time.perf_counter() - t) * 1000.0, len(ents)
+
+    with ThreadPoolExecutor(max_workers=concurrency) as pool:
+        for bi, batch in enumerate(batches):
+            for s in batch[:1] * min(warmup, 1):
+                extract_fn(s["text"], s["labels"], s.get("threshold"))
+            for it in range(iterations):
+                bt = time.perf_counter()
+                results = list(pool.map(one, batch))
+                bms = (time.perf_counter() - bt) * 1000.0
+                batch_latencies.append(bms)
+                for s, (ms, n_ents) in zip(batch, results):
+                    latencies.append(ms)
+                    total_chars += len(s["text"])
+                    total_words += word_count(s["text"])
+                    total_entities += n_ents
+                report(f"batch {bi + 1}/{len(batches)} | iter {it + 1} | "
+                       f"{bms:.2f} ms | {len(batch)} samples")
+    stats = benchmark_stats(latencies, total_chars, total_entities,
+                            wall_s=time.perf_counter() - t0)
+    stats["mode"] = "throughput"
+    stats["words_analyzed"] = total_words
+    stats["fixtures"] = len(samples)
+    stats["batch_size"] = batch_size
+    stats["concurrency"] = concurrency
+    xs = sorted(batch_latencies)
+    stats["batch_avg_ms"] = round(sum(xs) / len(xs), 3) if xs else 0.0
+    stats["batch_p95_ms"] = round(percentile(xs, 0.95), 3)
+    return stats
+
+
 @dataclass
 class RunMetrics:
     stages: dict[str, dict] = field(default_factory=dict)

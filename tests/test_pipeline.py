@@ -329,16 +329,31 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert s1["stages"]["extract"]["shards_skipped"] == 0
     n_nodes = s1["stages"]["nodes"]["rows"]
     assert n_nodes > 0 and os.path.exists(os.path.join(out, "metrics.json"))
-    # second run: every shard skipped, same outputs
+    # second run: every shard skipped AND phase 2 skipped (nodes/edges
+    # checkpoints match the extracts fingerprint) — no shuffle re-runs
     s2 = run_kg_pipeline(pages_dir, out, link=False, shard_size=1)
     assert s2["stages"]["extract"]["shards_skipped"] == s2["stages"]["extract"]["shards"]
-    assert s2["stages"]["nodes"]["rows"] == n_nodes
+    assert s2["stages"]["graph_phase"]["nodes_skipped"] is True
+    assert s2["stages"]["graph_phase"]["edges_skipped"] is True
+    assert "canonicalize" not in s2["stages"]
     nodes = rd.read_parquet(os.path.join(out, "nodes")).to_pandas()
-    assert nodes["node_id"].is_unique
-    # crash-atomicity: a leftover half-written temp dir (simulated crash
-    # mid-shard) must not break or pollute a resumed run
+    assert nodes["node_id"].is_unique and len(nodes) == n_nodes
+    # phase-2-only crash: edges checkpoint lost → only edges recomputed,
+    # node path (the expensive canonicalize shuffle) still skipped
     import json as _json
 
+    edges_before = rd.read_parquet(os.path.join(out, "edges")).to_pandas()
+    manifest0 = _json.load(open(os.path.join(out, "manifest.json")))
+    del manifest0["phase2:edges"]
+    _json.dump(manifest0, open(os.path.join(out, "manifest.json"), "w"))
+    s2b = run_kg_pipeline(pages_dir, out, link=False, shard_size=1)
+    assert s2b["stages"]["graph_phase"]["nodes_skipped"] is True
+    assert s2b["stages"]["graph_phase"]["edges_skipped"] is False
+    edges_after = rd.read_parquet(os.path.join(out, "edges")).to_pandas()
+    assert edges_after.equals(edges_before)
+    # crash-atomicity: a leftover half-written temp dir (simulated crash
+    # mid-shard) must not break or pollute a resumed run; re-extracting a
+    # shard changes the extracts fingerprint → phase 2 recomputes
     crash_dir = os.path.join(out, "extracts", "shard=00000.__tmp__")
     os.makedirs(crash_dir, exist_ok=True)
     with open(os.path.join(crash_dir, "garbage.parquet"), "w") as f:
@@ -349,5 +364,6 @@ def test_checkpoint_resume(ray_session, tmp_path):
     s3 = run_kg_pipeline(pages_dir, out, link=False, shard_size=1)
     assert s3["stages"]["extract"]["shards_skipped"] == \
         s3["stages"]["extract"]["shards"] - 1
+    assert s3["stages"]["graph_phase"]["nodes_skipped"] is False
     assert s3["stages"]["nodes"]["rows"] == n_nodes
     assert not os.path.exists(crash_dir)
