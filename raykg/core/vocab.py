@@ -87,8 +87,18 @@ class UnigramVocab:
                 if str(model.get("type", "")).lower() != "unigram":
                     raise ValueError(
                         f"unsupported tokenizer model type: {model.get('type')}")
-                vocab = cls(model["vocab"], spec.get("added_tokens"),
-                            model.get("unk_id", 0))
+                added = list(spec.get("added_tokens") or [])
+                # HF directory layout also ships a sibling added_tokens.json
+                # ({token: id}) — the reference's resource dir has exactly
+                # that (Sources/GLiNERSwift/Resources/tokenizer/
+                # added_tokens.json: [P]=128003, [E]=128005, …); merge it
+                sibling = os.path.join(os.path.dirname(cand),
+                                       "added_tokens.json")
+                if os.path.exists(sibling):
+                    with open(sibling, encoding="utf-8") as f:
+                        for token, tid in json.load(f).items():
+                            added.append({"id": int(tid), "content": token})
+                vocab = cls(model["vocab"], added, model.get("unk_id", 0))
                 if len(cls._DIR_CACHE) < 64:
                     cls._DIR_CACHE[key] = vocab
                 return vocab

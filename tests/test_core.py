@@ -248,6 +248,19 @@ def test_unigram_vocab_loader(tmp_path):
     # per-directory cache returns the same parsed instance
     assert UnigramVocab.load(str(tmp_path)) is v
 
+    # HF sibling added_tokens.json (the reference's real resource layout —
+    # Resources/tokenizer/added_tokens.json) merges with explicit ids
+    tdir = tmp_path / "withsib" / "tokenizer"
+    tdir.mkdir(parents=True)
+    (tdir / "tokenizer.json").write_text(json.dumps(spec))
+    (tdir / "added_tokens.json").write_text(
+        json.dumps({"[P]": 128003, "[E]": 128005, "[SEP_TEXT]": 128002}))
+    v2 = UnigramVocab.load(str(tmp_path / "withsib"))
+    assert v2.token_id("[P]") == 128003
+    assert v2.token_id("[E]") == 128005
+    assert v2.token_id("[SEP_TEXT]") == 128002
+    assert v2.token_id("<<ENT>>") == 99    # inline added_tokens kept
+
 
 def test_schema_encoding_shapes():
     tok = WordTokenizer(42)
@@ -393,3 +406,55 @@ def test_multitask_extract(oracle):
     assert isinstance(res["entities"]["person"], list)
     assert "topic" in res["classifications"]
     assert "doc" in res["structures"]
+
+
+def test_model_manifest_loader(tmp_path):
+    """GLiNERManifest semantics (GLiNERManifest.swift:5-89): required
+    artifact keys, relative-vs-absolute resolution against the manifest
+    directory, tokenizer_dir optional."""
+    import json
+
+    from raykg.core.manifest import ModelManifest
+
+    spec = {"model_id": "gliner2-test", "max_seq_len": 512,
+            "max_schema_tokens": 64, "max_width": 8, "hidden_size": 512,
+            "counting_layer": "count", "max_count": 8, "precision": "float16",
+            "artifacts": {"encoder": "enc.onnx", "span_rep": "span.onnx",
+                          "classifier": "/abs/cls.onnx",
+                          "count_predictor": "cp.onnx",
+                          "count_embed": "ce.onnx"},
+            "tokenizer_dir": "tokenizer"}
+    mp = tmp_path / "manifest.json"
+    mp.write_text(json.dumps(spec))
+    m = ModelManifest.load(str(mp))
+    assert m.model_id == "gliner2-test" and m.max_count == 8
+    assert m.artifacts["encoder"] == str(tmp_path / "enc.onnx")
+    assert m.artifacts["classifier"] == "/abs/cls.onnx"   # absolute kept
+    assert m.tokenizer_dir == str(tmp_path / "tokenizer")
+
+    bad = dict(spec, artifacts={"encoder": "e.onnx"})
+    (tmp_path / "bad.json").write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="missing artifacts"):
+        ModelManifest.load(str(tmp_path / "bad.json"))
+
+
+def test_onnx_backend_import_guard(tmp_path):
+    """Without onnxruntime the production backend fails loudly at
+    construction (never silently degrades to the surrogate)."""
+    import json
+
+    from raykg.core import onnx_backend
+
+    mp = tmp_path / "manifest.json"
+    mp.write_text(json.dumps({
+        "model_id": "x", "max_seq_len": 8, "max_schema_tokens": 4,
+        "max_width": 2, "hidden_size": 8, "max_count": 2,
+        "artifacts": {k: f"{k}.onnx" for k in
+                      ("encoder", "span_rep", "classifier",
+                       "count_predictor", "count_embed")}}))
+    if onnx_backend._ort is None:
+        with pytest.raises(ImportError, match="onnxruntime"):
+            onnx_backend.OnnxBackend(str(mp))
+    else:                                   # environment with onnxruntime
+        with pytest.raises(Exception):      # fixture has no real models
+            onnx_backend.OnnxBackend(str(mp))
