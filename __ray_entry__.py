@@ -113,6 +113,18 @@ def _kg_links(sf_dir: str):
     return _kg(sf_dir)["links"]
 
 
+def _kg_links_sharded(sf_dir: str):
+    """L1 scale path: catalog sharded by top LSH-code bits, probe-routed
+    linking, best-of merge (no_oracle: pytest asserts parity with the
+    single-actor path)."""
+    from raykg.stages.link import build_sharded_catalog, link_mentions_sharded
+
+    d = _kg(sf_dir)
+    refs = build_sharded_catalog(d["nodes"])
+    return link_mentions_sharded(_kg_mentions(sf_dir), refs) \
+        .sort(["doc_id", "start"])
+
+
 def _kg_label_report(sf_dir: str):
     """G1: mentions grouped by label → sorted distinct surface forms
     (/root/reference/Sources/GLiNERSwift/Diagnostics/EntityReporter.swift:8-38),
@@ -169,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_links": _kg_links,
+        "kg_links_sharded": _kg_links_sharded,
         "kg_label_report": _kg_label_report,
         "schema_extract": _schema_extract,
         "legacy_mentions": _legacy_mentions,

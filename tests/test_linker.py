@@ -86,3 +86,57 @@ def test_linker_empty_catalog(ray_session):
     cat = build_catalog(empty)
     got = _link(cat, ["anything"], use_lsh=False)
     assert got[0][0] == -1 and got[0][1] == 0.0
+
+
+def test_sharded_catalog_matches_single_actor(ray_session):
+    """The beyond-memory path (shard by top LSH-code bits + routed probes +
+    best-of merge) links every exact surface to the same node as the
+    single-actor LSH path, and the shards genuinely partition the catalog."""
+    import ray
+    import ray.data as rd
+
+    from raykg.core.canonical import node_id
+    from raykg.stages.link import (LinkerActor, build_catalog,
+                                   build_sharded_catalog,
+                                   link_mentions_sharded)
+
+    surfaces = ["helios dynamics", "northwind systems", "amelia reed",
+                "seattle", "vertex labs", "tokyo", "maria chen",
+                "atlas industries", "quantum labs", "berlin",
+                "cascade labs", "solstice industries", "omar haddad",
+                "nairobi", "pinnacle systems", "meridian dynamics"]
+    nodes = rd.from_pandas(pd.DataFrame({
+        "node_id": [node_id(s) for s in surfaces],
+        "canonical": surfaces,
+        "label": ["organization"] * len(surfaces),
+        "aliases": [[s] for s in surfaces],
+        "mention_count": [1] * len(surfaces),
+    })).materialize()
+
+    refs = build_sharded_catalog(nodes, n_shards=4)
+    shard_sizes = [len(ray.get(r)["node_ids"]) for r in refs]
+    assert sum(shard_sizes) == len(surfaces)
+    assert sum(1 for s in shard_sizes if s > 0) >= 2   # real partition
+
+    import pyarrow as pa
+
+    queries = ["Helios Dynamics", "Seattle", "Maria Chen", "Quantum Labs",
+               "Berlin", "Nairobi", "Meridian Dynamics"]
+    mentions = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(queries)), pa.int64()),
+        "url": pa.array(["u"] * len(queries), pa.string()),
+        "text": pa.array(queries, pa.string()),
+        "label": pa.array(["x"] * len(queries), pa.string()),
+        "score": pa.array([1.0] * len(queries), pa.float32()),
+        "start": pa.array([0] * len(queries), pa.int64()),
+        "end": pa.array([1] * len(queries), pa.int64()),
+    }))
+    got = link_mentions_sharded(mentions, refs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(queries)
+
+    single = LinkerActor(build_catalog(nodes), use_lsh=True)
+    sids, sscores = single._lookup_many(queries)
+    for i in range(len(queries)):
+        assert got.loc[i, "entity_id"] == sids[i], queries[i]
+        assert abs(got.loc[i, "link_score"] - sscores[i]) < 1e-5
