@@ -60,6 +60,37 @@ class PromptEncoding:
     text_word_count: int = field(default=0)
 
 
+def encode_plain(text: str, tok: WordTokenizer, max_length: int = 384,
+                 pad_to_max: bool = False) -> tuple[list[int], list[int]]:
+    """M4 plain encode (GLiNERTokenizer.swift:97-148):
+    ``[CLS] + pieces(text, truncated to maxLength-2) + [SEP]``, attention
+    mask 1 for content, optional pad-to-max with ``[PAD]``/mask 0. The
+    whole text is tokenized as ONE string (not per word — that is M5/M6's
+    job). Returns (input_ids, attention_mask)."""
+    if tok.vocab is not None:
+        from .tokenizer import normalize
+
+        pieces, _ = tok.vocab.tokenize_normalized(normalize(text))
+        cls_id, sep_id, pad_id = (tok.vocab.cls_id, tok.vocab.sep_id,
+                                  tok.vocab.pad_id)
+    else:
+        from .tokenizer import PAD_ID, viterbi_tokenize
+
+        pieces = viterbi_tokenize(text, tok.seed) if text else []
+        cls_id, sep_id, pad_id = CLS_ID, SEP_ID, PAD_ID
+    content = pieces[: max(0, max_length - 2)]
+    ids = [cls_id, *content, sep_id]
+    mask = [1] * len(ids)
+    if len(ids) > max_length:             # degenerate maxLength < 2
+        ids = ids[:max_length]
+        mask = mask[:max_length]
+    elif pad_to_max and len(ids) < max_length:
+        pad = max_length - len(ids)
+        ids.extend([pad_id] * pad)
+        mask.extend([0] * pad)
+    return ids, mask
+
+
 def encode_prompted(text: str, labels: list[str],
                     tok: WordTokenizer) -> PromptEncoding:
     """M5 (GLiNERTokenizer.swift:151-265)."""

@@ -458,3 +458,31 @@ def test_onnx_backend_import_guard(tmp_path):
     else:                                   # environment with onnxruntime
         with pytest.raises(Exception):      # fixture has no real models
             onnx_backend.OnnxBackend(str(mp))
+
+
+def test_plain_encode():
+    """M4 (GLiNERTokenizer.swift:97-148): [CLS] + truncated pieces + [SEP];
+    pad-to-max appends [PAD]/mask 0; truncation keeps maxLength-2 content
+    tokens."""
+    from raykg.core.legacy import encode_plain
+    from raykg.core.tokenizer import CLS_ID, PAD_ID, SEP_ID, WordTokenizer
+
+    tok = WordTokenizer(seed=42)
+    ids, mask = encode_plain("hello world", tok)
+    assert ids[0] == CLS_ID and ids[-1] == SEP_ID
+    assert mask == [1] * len(ids) and len(ids) >= 3
+
+    ids2, mask2 = encode_plain("hello world", tok, max_length=16,
+                               pad_to_max=True)
+    assert len(ids2) == 16 == len(mask2)
+    n_content = mask2.count(1)
+    assert ids2[n_content:] == [PAD_ID] * (16 - n_content)
+    assert mask2[n_content:] == [0] * (16 - n_content)
+    assert ids2[:n_content] == ids      # same content prefix
+
+    long_ids, long_mask = encode_plain("word " * 400, tok, max_length=32)
+    assert len(long_ids) == 32 and long_ids[-1] == SEP_ID
+    assert long_mask == [1] * 32
+
+    empty_ids, empty_mask = encode_plain("", tok)
+    assert empty_ids == [CLS_ID, SEP_ID] and empty_mask == [1, 1]
