@@ -277,3 +277,32 @@ def test_entry_contract(ray_session):
     ds = e.entry()
     assert ds.count() > 0
     assert ds.schema().names == ["src", "pred", "dst", "weight", "urls"]
+
+
+def test_minhash_parallelism_invariance(ray_session):
+    """The distributed verify join must give identical pairs regardless of
+    input block structure (2 blocks vs 16)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = {}
+    for i in range(80):
+        words = list(rng.choice(vocab, size=70))
+        texts[i] = " ".join(words)
+        dup = list(words)
+        for j in rng.choice(len(dup), size=4, replace=False):
+            dup[j] = str(rng.choice(vocab))
+        texts[1000 + i] = " ".join(dup)
+    df = pd.DataFrame({"doc_id": list(texts),
+                       "text": [texts[k] for k in texts]})
+
+    from raykg.functions.dedup import minhash_pairs
+
+    outs = []
+    for nblocks in (2, 16):
+        ds = rd.from_pandas(df).repartition(nblocks).materialize()
+        outs.append(minhash_pairs(ds, jaccard_threshold=0.5).to_pandas()
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    assert len(outs[0]) > 0

@@ -102,3 +102,32 @@ def test_iou_nms_invariants(spans):
                 assert iou(a.start, a.end, b.start, b.end) <= 0.5
     # idempotent
     assert iou_nms(kept, 0.5) == kept
+
+
+@given(st.text(min_size=0, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_unigram_vocab_viterbi_covers(text):
+    """Real-vocab Viterbi invariant: the emitted pieces exactly tile the
+    normalized input (per-char UNK fallback guarantees totality), and
+    tokenization is deterministic."""
+    import json
+
+    from raykg.core.tokenizer import normalize
+    from raykg.core.vocab import UnigramVocab
+
+    vocab = UnigramVocab(
+        [["[UNK]", -10.0], ["[PAD]", 0.0], ["[CLS]", 0.0], ["[SEP]", 0.0],
+         ["▁", -2.0], ["a", -3.0], ["ab", -2.5], ["b", -4.0], ["▁a", -2.2],
+         ["c", -4.5], ["abc", -2.0]], None, 0)
+    s = normalize(text)
+    ids, toks = vocab.tokenize_normalized(s)
+    assert (ids, toks) == vocab.tokenize_normalized(s)
+    # pieces tile s exactly, with [UNK] standing for one character
+    pos = 0
+    for t in toks:
+        if t == "[UNK]":
+            pos += 1
+        else:
+            assert s[pos:pos + len(t)] == t
+            pos += len(t)
+    assert pos == len(s)
