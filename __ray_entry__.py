@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textstats.q_langid,
         "fingerprint": textstats.q_fingerprint,
         "fingerprint_kgram": textstats.q_fingerprint_kgram,
+        "token_df": textstats.q_token_df,
+        "split": textstats.q_split,
+        "boilerplate": textstats.q_boilerplate,
         # deduplication
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
@@ -237,6 +240,9 @@ def oracle_sql() -> dict[str, str]:
         "knn": similarity.SQL_KNN,
         "langid": textstats.SQL_LANGID,
         "fingerprint_kgram": textstats.SQL_FINGERPRINT_KGRAM,
+        "token_df": textstats.SQL_TOKEN_DF,
+        "split": textstats.SQL_SPLIT,
+        "boilerplate": textstats.SQL_BOILERPLATE,
         "media_meta": multimodal.SQL_MEDIA_META,
         # omitted on purpose (non-SQL-expressible): kg_* + legacy_mentions
         # (model-scored extraction), fingerprint (winnowing needs modular

@@ -360,3 +360,181 @@ def q_fingerprint(sf_dir: str):
 
     return read_table(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(fp, batch_format="pyarrow", batch_size=4096).sort("doc_id")
+
+
+# -- corpus-level token document frequency (stopword / vocabulary mining) ---
+
+def q_token_df(sf_dir: str, min_docs: int = 50):
+    """Document frequency per token over the corpus — the vocabulary-mining
+    primitive behind df-based stopword discovery and vocab pruning.
+
+    Scale shape: each batch emits ONE row per distinct (token) carrying
+    partial (n_docs, n_occurrences) — exact because a document lives in
+    exactly one batch row, so per-batch distinct-doc counts sum without
+    overlap — then one bucketized merge. The shuffle moves token partials,
+    never text. Only tokens with df ≥ ``min_docs`` survive (the output is
+    the corpus HEAD, bounded regardless of corpus size)."""
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        n_docs: Counter = Counter()
+        n_occ: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            toks = _TOKEN_RE.findall(t.lower())
+            n_occ.update(toks)
+            n_docs.update(set(toks))
+        toks = sorted(n_docs)
+        return pd.DataFrame({
+            "token": pd.Series(toks, dtype="object"),
+            "n_docs": pd.Series([n_docs[t] for t in toks], dtype="int64"),
+            "n_occurrences": pd.Series([n_occ[t] for t in toks],
+                                       dtype="int64")})
+
+    from ..stages.shuffle import bucketed_named_agg
+
+    partials = read_table(sf_dir, "documents", ["text"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    merged = bucketed_named_agg(partials, ["token"],
+                                {"n_docs": ("n_docs", "sum"),
+                                 "n_occurrences": ("n_occurrences", "sum")})
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_docs"] >= min_docs]
+
+    return merged.map_batches(head, batch_format="pandas").sort("token")
+
+
+SQL_TOKEN_DF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN_SQL}')) AS token
+  FROM documents)
+SELECT token, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM toks GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 50
+ORDER BY token
+"""
+
+
+# -- deterministic hash split (train/val/test) ------------------------------
+
+def q_split(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
+    """Leakage-free corpus split: bucket = md5-derived hash of doc_id %
+    100 — a pure function of the row key, so the assignment is stable
+    across runs, resumes, corpus growth and parallelism (the standard way
+    to split 10^12 rows without a shuffle or a stored assignment table)."""
+    import ray.data as rd
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        buckets = [int(hashlib.md5(b"split|%d" % i).hexdigest()[:8], 16) % 100
+                   for i in ids]
+        splits = ["train" if x < train_pct
+                  else ("val" if x < train_pct + val_pct else "test")
+                  for x in buckets]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64()),
+                         "split": pa.array(splits, pa.string())})
+
+    return read_table(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(assign, batch_format="pyarrow", batch_size=8192) \
+        .sort("doc_id")
+
+
+SQL_SPLIT = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""
+
+
+# -- corpus-level boilerplate-line removal ----------------------------------
+
+def boilerplate_lines(docs_ds, min_docs: int = 3):
+    """Lines appearing in ≥ ``min_docs`` DISTINCT documents (headers,
+    footers, nav chrome — the classic Common-Crawl cleaning target).
+    Combiner emits per-batch distinct (line, n_docs) partials (exact: one
+    doc per row per batch); bucketized sum; only frequent lines survive —
+    the result is SMALL (boilerplate is by definition shared), safe to
+    broadcast to the strip pass."""
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            c.update({ln for ln in t.split("\n") if ln})
+        lines = sorted(c)
+        return pd.DataFrame({"line": pd.Series(lines, dtype="object"),
+                             "n_docs": pd.Series([c[x] for x in lines],
+                                                 dtype="int64")})
+
+    from ..stages.shuffle import bucketed_named_agg
+
+    merged = bucketed_named_agg(
+        docs_ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["line"], {"n_docs": ("n_docs", "sum")})
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_docs"] >= min_docs]
+
+    return merged.map_batches(head, batch_format="pandas")
+
+
+def strip_boilerplate(docs_ds, boilerplate_ref):
+    """Drop broadcast boilerplate lines from each document (stateless pass;
+    ``boilerplate_ref`` = ray.put(frozenset of lines))."""
+    import ray
+
+    def strip(b: pa.Table) -> pa.Table:
+        bad = ray.get(boilerplate_ref)
+        ids = b.column("doc_id")
+        out_text, out_removed = [], []
+        for t in b.column("text").to_pylist():
+            lines = t.split("\n")
+            kept = [ln for ln in lines if ln not in bad]
+            out_text.append("\n".join(kept))
+            out_removed.append(len(lines) - len(kept))
+        return pa.table({"doc_id": ids,
+                         "clean_text": pa.array(out_text, pa.string()),
+                         "n_removed": pa.array(out_removed, pa.int64())})
+
+    return docs_ds.map_batches(strip, batch_format="pyarrow", batch_size=4096)
+
+
+def q_boilerplate(sf_dir: str, min_docs: int = 3):
+    """End-to-end boilerplate removal over the documents table. (The
+    driver's synthetic corpus has fully distinct texts, so this is the
+    identity there — the oracle still verifies the full split/strip/rejoin
+    reconstruction byte-for-byte; the non-trivial behavior is pinned by
+    pytest on planted boilerplate.)"""
+    import ray
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    bad = frozenset(
+        r["line"] for r in boilerplate_lines(docs, min_docs).take_all())
+    return strip_boilerplate(docs, ray.put(bad)).sort("doc_id")
+
+
+SQL_BOILERPLATE = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+freq AS (
+  SELECT line FROM lines WHERE line <> '' GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >= 3),
+fl AS (SELECT coalesce(list(line), []) AS bl FROM freq)
+SELECT d.doc_id,
+  array_to_string(
+    list_filter(string_split(d.text, chr(10)),
+                x -> NOT list_contains(fl.bl, x)), chr(10)) AS clean_text,
+  CAST(len(string_split(d.text, chr(10))) -
+       len(list_filter(string_split(d.text, chr(10)),
+                       x -> NOT list_contains(fl.bl, x))) AS BIGINT) AS n_removed
+FROM documents d CROSS JOIN fl ORDER BY doc_id
+"""

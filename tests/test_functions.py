@@ -306,3 +306,32 @@ def test_minhash_parallelism_invariance(ray_session):
                     .reset_index(drop=True))
     assert outs[0].equals(outs[1])
     assert len(outs[0]) > 0
+
+
+def test_boilerplate_removal_planted(ray_session):
+    """Non-trivial boilerplate behavior on planted headers/footers: shared
+    chrome lines are stripped, unique content lines survive, rare repeats
+    below min_docs survive."""
+    import ray
+    import ray.data as rd
+
+    from raykg.functions.textstats import (boilerplate_lines,
+                                           strip_boilerplate)
+
+    header, footer = "SITE NAVIGATION | Home | About", "(c) 2025 Example Corp"
+    docs = []
+    for i in range(20):
+        body = f"unique content line {i}\nsecond unique line {i}"
+        rare = "rare shared line" if i < 2 else f"filler {i}"
+        docs.append({"doc_id": i,
+                     "text": f"{header}\n{body}\n{rare}\n{footer}"})
+    ds = rd.from_items(docs).materialize()
+    freq = boilerplate_lines(ds, min_docs=3).to_pandas()
+    assert set(freq["line"]) == {header, footer}
+    bad = frozenset(freq["line"])
+    out = strip_boilerplate(ds, ray.put(bad)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (out["n_removed"] == 2).all()
+    assert out.loc[0, "clean_text"] == \
+        "unique content line 0\nsecond unique line 0\nrare shared line"
+    assert header not in out.loc[5, "clean_text"]
