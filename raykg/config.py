@@ -51,6 +51,11 @@ class PipelineConfig:
                                      # streaming executor)
     linker_batch_size: int = 4096
     linker_concurrency: int = 4
+    shard_overlap: int = 2           # extraction shards in flight at once —
+                                     # hides the ~3s/shard fixed cost (pool
+                                     # spin-up, dedup pre-pass, write drain)
+                                     # behind the neighbour's compute; each
+                                     # shard's pool is sized to its share
 
     def with_threshold(self, threshold: float | None) -> "PipelineConfig":
         if threshold is None:

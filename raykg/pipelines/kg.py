@@ -28,6 +28,38 @@ from __future__ import annotations
 
 import os
 
+
+def _settle_fsspec_http_import() -> None:
+    """Make Ray's lazy fsspec-http probe thread-deterministic.
+
+    ``read_parquet``/``write_parquet`` call
+    ``ray.data...path_util._is_http_filesystem``, which does
+    ``from fsspec.implementations.http import HTTPFileSystem`` and catches
+    ONLY ModuleNotFoundError. In this environment aiohttp is absent, so the
+    import fails — harmlessly when single-threaded, but two shard threads
+    importing it CONCURRENTLY can race Python's failed-import cleanup and
+    one thread sees a partially-initialized module → plain ImportError that
+    escapes Ray's handler. Installing a settled stub module (whose sentinel
+    HTTPFileSystem class matches nothing) makes every subsequent import
+    succeed deterministically; behavior is identical (no filesystem here is
+    http)."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:          # sentinel: aiohttp absent
+            pass
+
+        stub.HTTPFileSystem = _NoHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+
+
+_settle_fsspec_http_import()
+
 from ..config import DEFAULT_CONFIG, KG_LABELS, PipelineConfig
 from ..stages.canonicalize import (alias_components, alias_pairs,
                                    apply_alias_merge, canonicalize)
@@ -158,23 +190,44 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
     shards = _shard_files(files, shard_size)
     manifest = Manifest.load(os.path.join(out_dir, "manifest.json"))
 
-    with metrics.stage("extract") as info:
-        total_rows = 0
-        skipped = 0
-        for k, shard in enumerate(shards):
-            name = f"shard={k:05d}"
-            fp = shard_fingerprint(shard)
-            shard_dir = os.path.join(out_dir, "extracts", name)
-            if resume and manifest.done(name, fp) and os.path.isdir(shard_dir):
-                skipped += 1
-                continue
-            import time as _time
+    # Shard executions OVERLAP with a bounded in-flight window: each shard
+    # pays ~3s of fixed cost (dup-winner pre-pass, actor-pool spin-up,
+    # write/drain barrier — measured at ×96/32: 4 shards cost +13s over 1)
+    # that hides behind the neighbouring shard's compute when two run
+    # concurrently. Ray schedules both under one resource pool; each
+    # shard's actor pool is sized to its share (CPUs−2)/window, so total
+    # actors never exceed the sequential case. Checkpoint granularity is
+    # unchanged — every shard still commits atomically with its own
+    # manifest entry (thread-safe: entries are recorded under a lock).
+    import threading
+    import time as _time
 
-            t_shard = _time.perf_counter()
-            pages = rd.read_parquet(shard)
-            extracts = extract_stage(pages, labels, cfg, dedup=True)
-            n = atomic_write_parquet(extracts, shard_dir)
-            wall = _time.perf_counter() - t_shard
+    overlap = max(1, min(int(getattr(cfg, "shard_overlap", 2)), 4,
+                         len(shards)))
+    manifest_lock = threading.Lock()
+    shard_cfg = cfg
+    if overlap > 1:
+        import dataclasses
+
+        # divide the CAPPED pool size, not the requested one: two pools of
+        # min(request, CPUs−2) would reserve every CPU on small machines
+        # and wedge the streaming executor (the round-1 deadlock, now with
+        # concurrency as the multiplier)
+        per_shard = max(1, _pool_size(cfg.scorer_concurrency) // overlap)
+        shard_cfg = dataclasses.replace(cfg, scorer_concurrency=per_shard)
+
+    def run_shard(k: int, shard: list[str]) -> int:
+        name = f"shard={k:05d}"
+        fp = shard_fingerprint(shard)
+        shard_dir = os.path.join(out_dir, "extracts", name)
+        if resume and manifest.done(name, fp) and os.path.isdir(shard_dir):
+            return -1
+        t_shard = _time.perf_counter()
+        pages = rd.read_parquet(shard)
+        extracts = extract_stage(pages, labels, shard_cfg, dedup=True)
+        n = atomic_write_parquet(extracts, shard_dir)
+        wall = _time.perf_counter() - t_shard
+        with manifest_lock:
             # per-shard lineage: input files, row count, wall, throughput
             manifest.record(name, fp, {
                 "rows": n,
@@ -182,7 +235,23 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
                 "wall_s": round(wall, 3),
                 "rows_per_s": round(n / wall, 1) if wall > 0 else None,
             })
-            total_rows += n
+        return n
+
+    with metrics.stage("extract") as info:
+        total_rows = 0
+        skipped = 0
+        if overlap == 1 or len(shards) == 1:
+            results = [run_shard(k, s) for k, s in enumerate(shards)]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=overlap) as pool:
+                results = list(pool.map(run_shard, range(len(shards)), shards))
+        for n in results:
+            if n < 0:
+                skipped += 1
+            else:
+                total_rows += n
         info["rows"] = total_rows
         info["shards"] = len(shards)
         info["shards_skipped"] = skipped

@@ -367,3 +367,32 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert s3["stages"]["graph_phase"]["nodes_skipped"] is False
     assert s3["stages"]["nodes"]["rows"] == n_nodes
     assert not os.path.exists(crash_dir)
+
+
+def test_shard_overlap_equals_sequential(ray_session, tmp_path):
+    """Overlapped shard execution (shard_overlap=2, halved per-shard pools)
+    is a scheduling change only: nodes and edges are byte-identical to the
+    sequential run."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from raykg.config import DEFAULT_CONFIG
+    from raykg.pipelines.kg import run_kg_pipeline
+
+    pages_dir = str(tmp_path / "pages")
+    pages_dataset(SF).write_parquet(pages_dir)
+
+    outs = {}
+    for name, overlap in (("seq", 1), ("ovl", 2)):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, shard_overlap=overlap)
+        out = str(tmp_path / name)
+        run_kg_pipeline(pages_dir, out, link=False, shard_size=1, config=cfg)
+        outs[name] = {
+            t: rd.read_parquet(os.path.join(out, t)).to_pandas()
+            .sort_values(list(rd.read_parquet(os.path.join(out, t))
+                              .schema().names)[:3]).reset_index(drop=True)
+            for t in ("nodes", "edges")
+        }
+    for t in ("nodes", "edges"):
+        assert outs["seq"][t].equals(outs["ovl"][t]), t
