@@ -131,6 +131,10 @@ def run_bench() -> dict:
     timed("dedup_exact", dedup.q_dedup_exact)
     timed("dedup_minhash", dedup.q_dedup_minhash)
     timed("knn", similarity.q_knn)
+    timed("dedup_embedding", dedup.q_dedup_embedding)
+    timed("langid", textstats.q_langid)
+    timed("token_df", textstats.q_token_df)
+    timed("split", textstats.q_split)
 
     result = {
         "metric": "kg_pipeline_sec",
@@ -156,7 +160,7 @@ def run_scaling() -> dict:
     shuffle scheduling, output commit — identical at both widths) doesn't
     mask it; at the target 100 TB these overheads are noise by construction."""
     scaling_repeat = int(os.environ.get("GRAFT_SCALING_REPEAT", "96"))
-    lo_rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    lo_rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     hi_rounds = lo_rounds + 2     # hi-width runs are ~3× cheaper; extra
                                   # rounds there buy variance reduction where
                                   # the ratio is most sensitive
