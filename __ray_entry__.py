@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_df": textstats.q_token_df,
         "split": textstats.q_split,
         "boilerplate": textstats.q_boilerplate,
+        "sample": textstats.q_sample,
+        "len_quantiles": textstats.q_len_quantiles,
         # deduplication
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
@@ -243,6 +245,8 @@ def oracle_sql() -> dict[str, str]:
         "token_df": textstats.SQL_TOKEN_DF,
         "split": textstats.SQL_SPLIT,
         "boilerplate": textstats.SQL_BOILERPLATE,
+        "sample": textstats.SQL_SAMPLE,
+        "len_quantiles": textstats.SQL_LEN_QUANTILES,
         "media_meta": multimodal.SQL_MEDIA_META,
         # omitted on purpose (non-SQL-expressible): kg_* + legacy_mentions
         # (model-scored extraction), fingerprint (winnowing needs modular

@@ -538,3 +538,95 @@ SELECT d.doc_id,
                        x -> NOT list_contains(fl.bl, x))) AS BIGINT) AS n_removed
 FROM documents d CROSS JOIN fl ORDER BY doc_id
 """
+
+
+# -- deterministic uniform sample (hash-rank top-N) -------------------------
+
+SAMPLE_N = 100
+
+
+def q_sample(sf_dir: str, n: int = SAMPLE_N):
+    """Deterministic uniform sample without a shuffle or an RNG: rank every
+    row by md5 of its key and keep the N smallest — the standard trick for
+    reproducible eval-set carving at any scale (rank is a pure function of
+    the key; growing the corpus only displaces rows at the boundary).
+    Per-batch partial top-N + one tiny single-block merge; only (doc_id,
+    rank-hash) rows ever move."""
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ids = b.column("doc_id").to_pylist()
+        hs = [hashlib.md5(b"s|%d" % i).hexdigest() for i in ids]
+        df = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                           "h": pd.Series(hs, dtype="object")})
+        return df.sort_values(["h", "doc_id"], kind="stable").head(n)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["h", "doc_id"], kind="stable").head(n) \
+            .reset_index(drop=True)
+
+    return read_table(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192) \
+        .repartition(1).map_batches(merge, batch_format="pandas",
+                                    batch_size=None)
+
+
+SQL_SAMPLE = f"""
+SELECT doc_id, md5('s|' || CAST(doc_id AS VARCHAR)) AS h
+FROM documents ORDER BY h, doc_id LIMIT {SAMPLE_N}
+"""
+
+
+# -- exact distributed quantiles via value histogram ------------------------
+
+LEN_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_len_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of document length WITHOUT a distributed sort:
+    per-batch value histograms (n_chars has bounded cardinality — the
+    histogram is the reduced data) merge through one bucketized sum, and
+    the quantile is read off the cumulative counts in a single tiny task.
+    Quantile semantics = DuckDB's quantile_disc: smallest value whose
+    cumulative count ≥ ceil(q·n)."""
+    import ray.data as rd
+
+    def hist(b: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(b.column("n_chars").to_pylist()).value_counts()
+        return pd.DataFrame({"value": vc.index.astype("int64"),
+                             "cnt": vc.values.astype("int64")})
+
+    from ..stages.shuffle import bucketed_named_agg
+
+    merged = bucketed_named_agg(
+        read_table(sf_dir, "documents", ["n_chars"])
+        .map_batches(hist, batch_format="pyarrow", batch_size=8192),
+        ["value"], {"cnt": ("cnt", "sum")})
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        df = df.sort_values("value", kind="stable").reset_index(drop=True)
+        cum = df["cnt"].cumsum()
+        n = int(cum.iloc[-1]) if len(df) else 0
+        out_q, out_v = [], []
+        for q in LEN_QUANTILES:
+            target = max(1, math.ceil(q * n))
+            idx = int((cum >= target).idxmax()) if n else 0
+            out_q.append(q)
+            out_v.append(int(df["value"].iloc[idx]) if n else 0)
+        return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"),
+                             "n_chars_q": pd.Series(out_v, dtype="int64")})
+
+    return merged.repartition(1).map_batches(quantiles, batch_format="pandas",
+                                             batch_size=None)
+
+
+SQL_LEN_QUANTILES = """
+SELECT 0.5 AS q, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS n_chars_q FROM documents
+UNION ALL
+SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents
+UNION ALL
+SELECT 0.99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents
+ORDER BY q
+"""
