@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": similarity.q_knn_ivf,
         # multimodal plumbing
         "media_meta": multimodal.q_media_meta,
+        "frame_sample": multimodal.q_frame_sample,
     }
 
 

@@ -335,3 +335,40 @@ def test_boilerplate_removal_planted(ray_session):
     assert out.loc[0, "clean_text"] == \
         "unique content line 0\nsecond unique line 0\nrare shared line"
     assert header not in out.loc[5, "clean_text"]
+
+
+def test_frame_sampler(ray_session):
+    """Frame sampling: every stride-th frame (incl. 0) per video, digests
+    match direct payload slicing, non-video payloads skipped."""
+    import struct as _struct
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hashlib import blake2b
+
+    from raykg.functions.multimodal import (MAGIC_VID, FrameSampler,
+                                            q_frame_sample,
+                                            synth_video_payload)
+
+    p = synth_video_payload(11)
+    n_frames, fb = _struct.unpack(">II", p[4:12])
+    sampler = FrameSampler(stride=3)
+    batch = pa.table({"media_id": pa.array([11, 12], pa.int64()),
+                      "payload": pa.array([p, b"JUNKxxxx"], pa.binary())})
+    out = sampler(batch)
+    idxs = out.column("frame_idx").to_pylist()
+    assert idxs == list(range(0, n_frames, 3))
+    assert set(out.column("media_id").to_pylist()) == {11}   # junk skipped
+    for i, k in enumerate(idxs):
+        frame = p[12 + k * fb: 12 + (k + 1) * fb]
+        expect = int.from_bytes(blake2b(frame, digest_size=8).digest(),
+                                "big") >> 1
+        assert out.column("frame_digest")[i].as_py() == expect
+
+    got = q_frame_sample(SF).to_pandas()
+    assert len(got) > 500
+    assert (got.groupby("media_id")["frame_idx"].min() == 0).all()
+    # deterministic across runs
+    got2 = q_frame_sample(SF).to_pandas()
+    assert got.equals(got2)
