@@ -153,7 +153,13 @@ def dup_url_winners(pages_ds, num_buckets: int = 32) -> dict:
 def filter_dup_losers(pages_ds, winners_ref):
     """Stateless dedup filter: drop rows that lose to the broadcast winner
     (``dup_url_winners`` output via ``ray.put``). Urls absent from the map
-    are unique — kept without any hashing."""
+    are unique — kept without any hashing.
+
+    Residual (documented): BYTE-IDENTICAL rows that also tie on warc_ts are
+    collapsed within a batch but not across blocks — a stateless filter has
+    no cross-block identity for indistinguishable rows. Their extraction
+    results are identical; callers needing strict one-row-per-url semantics
+    for such pathological inputs use the shuffled ``dedup_pages`` path."""
     import ray
 
     def f(batch: pa.Table) -> pa.Table:

@@ -396,3 +396,55 @@ def test_shard_overlap_equals_sequential(ray_session, tmp_path):
         }
     for t in ("nodes", "edges"):
         assert outs["seq"][t].equals(outs["ovl"][t]), t
+
+
+def test_dup_winner_tie_and_identical_rows(ray_session):
+    """Broadcast dedup edge cases the synthetic corpus never hits:
+    (a) exact (url, warc_ts) ties resolve by smallest html md5 —
+    deterministic across runs; (b) fully identical rows collapse to one
+    within a batch."""
+    from datetime import datetime
+    from hashlib import md5
+
+    import ray
+    import ray.data as rd
+
+    from raykg.stages.extract import dup_url_winners, filter_dup_losers
+
+    ts = datetime(2025, 1, 1)
+    ts2 = datetime(2025, 1, 2)
+    rows = [
+        # tie on max ts: two different htmls → md5 decides
+        {"url": "u/tie", "warc_ts": ts, "html": b"<p>A</p>", "lang": "en",
+         "text": "A"},
+        {"url": "u/tie", "warc_ts": ts, "html": b"<p>B</p>", "lang": "en",
+         "text": "B"},
+        # plain newest-wins
+        {"url": "u/new", "warc_ts": ts, "html": b"<p>old</p>", "lang": "en",
+         "text": "old"},
+        {"url": "u/new", "warc_ts": ts2, "html": b"<p>new</p>", "lang": "en",
+         "text": "new"},
+        # fully identical duplicate rows
+        {"url": "u/id", "warc_ts": ts, "html": b"<p>X</p>", "lang": "en",
+         "text": "X"},
+        {"url": "u/id", "warc_ts": ts, "html": b"<p>X</p>", "lang": "en",
+         "text": "X"},
+        # unique row untouched
+        {"url": "u/solo", "warc_ts": ts, "html": b"<p>S</p>", "lang": "en",
+         "text": "S"},
+    ]
+    # single block: the identical-rows collapse is per-batch (documented:
+    # byte-identical rows in DIFFERENT blocks are a residual the strict
+    # dedup_pages path handles; their extraction results are identical)
+    ds = rd.from_items(rows).repartition(1).materialize()
+    winners = dup_url_winners(ds)
+    assert set(winners) == {"u/tie", "u/new", "u/id"}
+    assert winners["u/tie"][1] is not None          # tie → content decides
+    assert winners["u/new"][1] is None              # no tie → ts suffices
+    out = filter_dup_losers(ds, ray.put(winners)).to_pandas()
+    assert sorted(out["url"]) == ["u/id", "u/new", "u/solo", "u/tie"]
+    # tie winner is the lexicographically smallest md5 (deterministic)
+    want = min(b"<p>A</p>", b"<p>B</p>",
+               key=lambda h: md5(h).hexdigest())
+    assert out.loc[out["url"] == "u/tie", "html"].iloc[0] == want
+    assert out.loc[out["url"] == "u/new", "text"].iloc[0] == "new"
