@@ -273,6 +273,15 @@ def test_components_distributed_long_chain_and_random(ray_session):
                 if n != r}
     assert dist_map == components_driver(ds)
 
+    # empty pair set: both paths degrade to the identity
+    from raykg.stages.canonicalize import alias_components
+
+    empty = rd.from_pandas(pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                         "b": pd.Series(dtype="int64")})) \
+        .materialize()
+    assert alias_components(empty) == {}
+    assert len(components_distributed(empty).to_pandas()) == 0
+
 
 def test_alias_components_budget_zero_equals_driver(ray_session):
     """alias_components(driver_budget=0) (forces the distributed CC leg)
