@@ -184,7 +184,7 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
     cfg = config or DEFAULT_CONFIG
     if os.path.isdir(pages_path):
         files = [os.path.join(pages_path, f) for f in os.listdir(pages_path)
-                 if f.endswith(".parquet")]
+                 if f.endswith((".parquet", ".warc", ".warc.gz"))]
     else:
         files = [pages_path]
     shards = _shard_files(files, shard_size)
@@ -216,6 +216,15 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
         per_shard = max(1, _pool_size(cfg.scorer_concurrency) // overlap)
         shard_cfg = dataclasses.replace(cfg, scorer_concurrency=per_shard)
 
+    def _read_pages(shard: list[str]):
+        """Reader by extension: parquet shards (default) or raw WARC files
+        (Common Crawl's native container, raykg.sources.warc)."""
+        if all(f.endswith((".warc", ".warc.gz")) for f in shard):
+            from ..sources.warc import read_warc
+
+            return read_warc(shard)
+        return rd.read_parquet(shard)
+
     def run_shard(k: int, shard: list[str]) -> int:
         name = f"shard={k:05d}"
         fp = shard_fingerprint(shard)
@@ -223,7 +232,7 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
         if resume and manifest.done(name, fp) and os.path.isdir(shard_dir):
             return -1
         t_shard = _time.perf_counter()
-        pages = rd.read_parquet(shard)
+        pages = _read_pages(shard)
         extracts = extract_stage(pages, labels, shard_cfg, dedup=True)
         n = atomic_write_parquet(extracts, shard_dir)
         wall = _time.perf_counter() - t_shard

@@ -457,3 +457,65 @@ def test_dup_winner_tie_and_identical_rows(ray_session):
                key=lambda h: md5(h).hexdigest())
     assert out.loc[out["url"] == "u/tie", "html"].iloc[0] == want
     assert out.loc[out["url"] == "u/new", "text"].iloc[0] == "new"
+
+
+def test_warc_source_roundtrip(ray_session, tmp_path):
+    """WARC source (CC's native container): synthetic pages → spec WARC
+    (plain AND per-record-gzip) → read_warc → identical pages rows, and the
+    KG extract stage runs straight off it."""
+    from raykg.pipelines.kg import extract_stage
+    from raykg.sources.pages import make_page_row
+    from raykg.sources.warc import read_warc, warc_to_pages, write_warc
+
+    rows = [make_page_row(i, "filler for the body", "en") for i in range(12)]
+    rows[3]["lang"] = "de"
+    plain = str(tmp_path / "a.warc")
+    gz = str(tmp_path / "b.warc.gz")
+    write_warc(plain, rows[:7], compress=False)
+    write_warc(gz, rows[7:], compress=True)
+
+    # direct parse (both compressions) preserves every field
+    with open(plain, "rb") as f:
+        t = warc_to_pages(f.read())
+    assert t.num_rows == 7
+    for i in range(7):
+        assert t.column("url")[i].as_py() == rows[i]["url"]
+        assert t.column("html")[i].as_py() == rows[i]["html"]
+        assert t.column("text")[i].as_py() == rows[i]["text"]   # byte identity
+        assert t.column("warc_ts")[i].as_py() == rows[i]["warc_ts"].replace(microsecond=0)
+    with open(gz, "rb") as f:
+        t2 = warc_to_pages(f.read())
+    assert t2.num_rows == 5
+    assert t2.column("lang").to_pylist() == [r["lang"] for r in rows[7:]]
+
+    # as a Dataset source feeding the pipeline
+    pages = read_warc([plain, gz])
+    df = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(df) == 12 and df["url"].is_unique
+    ex = extract_stage(pages).to_pandas()
+    assert len(ex) == 12 and (ex["n_words"] >= 0).all()
+
+
+def test_kg_pipeline_over_warc(ray_session, tmp_path):
+    """The production pipeline runs straight off a directory of WARC files
+    (extension auto-detection) with checkpoints and the same outputs."""
+    import ray.data as rd
+
+    from raykg.pipelines.kg import run_kg_pipeline
+    from raykg.sources.pages import make_page_row
+    from raykg.sources.warc import write_warc
+
+    rows = [make_page_row(i, "filler text body", "en") for i in range(30)]
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    write_warc(str(wdir / "a.warc"), rows[:15])
+    write_warc(str(wdir / "b.warc.gz"), rows[15:], compress=True)
+    out = str(tmp_path / "kg")
+    s = run_kg_pipeline(str(wdir), out, link=False, shard_size=1)
+    assert s["stages"]["extract"]["rows"] == 30
+    nodes = rd.read_parquet(os.path.join(out, "nodes")).to_pandas()
+    edges = rd.read_parquet(os.path.join(out, "edges")).to_pandas()
+    assert len(nodes) > 0 and len(edges) > 0
+    # resume skips both warc shards
+    s2 = run_kg_pipeline(str(wdir), out, link=False, shard_size=1)
+    assert s2["stages"]["extract"]["shards_skipped"] == 2
