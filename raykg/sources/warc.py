@@ -94,20 +94,32 @@ def _parse_warc_date(s: str) -> datetime:
 
 
 def warc_to_pages(data: bytes, default_lang: str = "en") -> pa.Table:
-    """One WARC file's bytes → pages-schema rows (response records only)."""
+    """One WARC/WET file's bytes → pages-schema rows.
+
+    ``response`` records (WARC): html = HTTP body, text = frozen extractor.
+    ``conversion`` records (WET, CC's pre-extracted sibling format): the
+    payload IS the text — html stays empty and the text column carries the
+    payload verbatim (the extractor is bypassed exactly as a WET-based
+    ingestion pipeline would)."""
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for headers, payload in parse_warc_records(data):
-        if headers.get("warc-type") != "response":
+        rtype = headers.get("warc-type")
+        if rtype not in ("response", "conversion"):
             continue
         url = headers.get("warc-target-uri", "")
         if not url:
             continue
-        html = _http_body(payload)
+        if rtype == "response":
+            html = _http_body(payload)
+            text = extract_text(html)
+        else:
+            html = b""
+            text = payload.decode("utf-8", "replace")
         urls.append(url)
         tss.append(_parse_warc_date(headers.get("warc-date",
                                                 "1970-01-01T00:00:00Z")))
         htmls.append(html)
-        texts.append(extract_text(html))
+        texts.append(text)
         langs.append(headers.get("warc-identified-content-language",
                                  default_lang).split(",")[0])
     return pa.table({
@@ -138,19 +150,25 @@ def read_warc(paths: list[str] | str):
 
 # -- synthetic WARC writer (tests / fixtures) -------------------------------
 
-def write_warc(path: str, rows: list[dict], compress: bool = False) -> str:
+def write_warc(path: str, rows: list[dict], compress: bool = False,
+               wet: bool = False) -> str:
     """pages-shaped rows → a spec-conformant WARC file (optionally as
-    per-record gzip members, the CC layout)."""
+    per-record gzip members, the CC layout). ``wet=True`` writes
+    ``conversion`` records whose payload is the text column (the WET
+    sibling format)."""
     out = io.BytesIO()
     for r in rows:
-        body = r["html"]
-        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
-                + body)
+        if wet:
+            http = r["text"].encode("utf-8")
+        else:
+            body = r["html"]
+            http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
+                    + body)
         ts = r["warc_ts"]
         iso = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
         head = (b"WARC/1.0\r\n"
-                b"WARC-Type: response\r\n"
+                b"WARC-Type: " + (b"conversion" if wet else b"response") + _CRLF +
                 b"WARC-Target-URI: " + r["url"].encode() + _CRLF +
                 b"WARC-Date: " + iso.encode() + _CRLF +
                 (b"WARC-Identified-Content-Language: " + r["lang"].encode()

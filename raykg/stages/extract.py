@@ -31,9 +31,14 @@ def extract_docs(batch: pa.Table) -> pa.Table:
     AFTER extraction, where rows are doc-level results instead of multi-MB
     html payloads. The pipeline intentionally ignores the producer-supplied
     `text` column and recomputes it — the invariant is that they agree per
-    url, asserted by tests, not assumed by the engine."""
-    html_col = batch.column("html")
-    texts = [extract_text(v) for v in html_col.to_pylist()]
+    url, asserted by tests, not assumed by the engine. EXCEPTION: rows with
+    EMPTY html and a non-empty text column are WET-style conversion records
+    (pre-extracted text, no html ships) — their text is taken verbatim."""
+    html_col = batch.column("html").to_pylist()
+    pre_text = (batch.column("text").to_pylist()
+                if "text" in batch.schema.names else [None] * len(html_col))
+    texts = [(t if not v and t else extract_text(v))
+             for v, t in zip(html_col, pre_text)]
     urls = batch.column("url").to_pylist()
     cols = {
         "doc_id": pa.array([doc_id_of(u) for u in urls], pa.int64()),

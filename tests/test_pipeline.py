@@ -519,3 +519,26 @@ def test_kg_pipeline_over_warc(ray_session, tmp_path):
     # resume skips both warc shards
     s2 = run_kg_pipeline(str(wdir), out, link=False, shard_size=1)
     assert s2["stages"]["extract"]["shards_skipped"] == 2
+
+
+def test_wet_conversion_records(ray_session, tmp_path):
+    """WET (conversion) records: payload is the pre-extracted text; html is
+    empty; extract_docs takes the supplied text verbatim and the mentions
+    match what the same text yields through the normal path."""
+    from raykg.sources.pages import make_page_row
+    from raykg.sources.warc import read_warc, write_warc
+    from raykg.stages.extract import extract_docs
+
+    rows = [make_page_row(i, "wet filler", "en") for i in range(8)]
+    wet = str(tmp_path / "c.warc.gz")
+    write_warc(wet, rows, compress=True, wet=True)
+    pages = read_warc([wet]).to_pandas().sort_values("url")
+    assert (pages["html"].map(len) == 0).all()
+    assert list(pages.sort_values("url")["text"]) == \
+        [r["text"] for r in sorted(rows, key=lambda r: r["url"])]
+
+    docs = read_warc([wet]).map_batches(extract_docs,
+                                        batch_format="pyarrow").to_pandas()
+    by_url = dict(zip(docs["url"], docs["text"]))
+    for r in rows:
+        assert by_url[r["url"]] == r["text"]       # taken verbatim
