@@ -36,19 +36,35 @@ _CORP_SUFFIXES = {"inc", "incorporated", "corp", "corporation", "ltd",
                   "limited", "llc", "co", "gmbh", "plc", "sa", "ag"}
 
 
-def normalize_surface(s: str) -> str:
-    t = unicodedata.normalize("NFKC", s).casefold()
-    t = _RE_WS.sub(" ", t).strip()
-    t = t.strip(_EDGE_PUNCT).strip()
+_EDGE_STRIP = _EDGE_PUNCT + " \t\n\r\f\v"
+
+
+def _normalize_pass(t: str) -> str:
+    """One round of edge cleanup: edge punct+ws strip, possessive pop,
+    corporate-designator pop (never strips the only token)."""
+    t = t.strip(_EDGE_STRIP)
     if t.endswith("'s"):
-        t = t[:-2].rstrip()
-    # corporate-designator stripping: "helios dynamics inc" and "helios
-    # dynamics" are the same entity — resolve at normalization so they share
-    # a node_id with zero alias-merge work (never strip the only token)
+        t = t[:-2].strip(_EDGE_STRIP)
     toks = t.split(" ")
-    while len(toks) > 1 and toks[-1].strip(_EDGE_PUNCT) in _CORP_SUFFIXES:
+    while len(toks) > 1 and toks[-1].strip(_EDGE_STRIP) in _CORP_SUFFIXES:
         toks.pop()
     return " ".join(toks)
+
+
+def normalize_surface(s: str) -> str:
+    t = unicodedata.normalize("NFKC", s).casefold()
+    t = _RE_WS.sub(" ", t)
+    # Run the edge-cleanup pass to a FIXPOINT: a single strip(punct).strip()
+    # is not idempotent when punctuation and whitespace alternate at the edge
+    # ("0: :" → "0:" → "0"), and the possessive / corp-suffix pops can expose
+    # fresh edge punctuation. A stored canonical surface must be in normal
+    # form or two raw surfaces of the same entity land on different node_ids.
+    # Each pass strictly shortens the string, so this terminates in O(|s|).
+    prev = None
+    while t != prev:
+        prev = t
+        t = _normalize_pass(t)
+    return t
 
 
 def node_id(canonical: str) -> int:
