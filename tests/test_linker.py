@@ -140,3 +140,13 @@ def test_sharded_catalog_matches_single_actor(ray_session):
     for i in range(len(queries)):
         assert got.loc[i, "entity_id"] == sids[i], queries[i]
         assert abs(got.loc[i, "link_score"] - sscores[i]) < 1e-5
+
+    # the probe-bucket split (parallelism knob M) must not change results:
+    # gkey = shard × M + h(mention) % M only re-partitions work
+    got1 = link_mentions_sharded(mentions, refs, num_probe_buckets=1) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got16 = link_mentions_sharded(mentions, refs, num_probe_buckets=16) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got1, got16)
+    pd.testing.assert_frame_equal(got1, got.sort_values("doc_id")
+                                  .reset_index(drop=True))
