@@ -38,12 +38,13 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from .decode import Mention
-from .tokenizer import (CLS_ID, SEP_ID, WordTokenizer, _h64)
+from .tokenizer import (ENT_ID as ENT_TOKEN_ID, SEPT_ID as SEPT_TOKEN_ID,
+                        WordTokenizer, _h64)
 from .wordsplit import split_words
 
-ENT_TOKEN_ID = 30       # <<ENT>> / <<SEP>> live in the reserved special range
-SEPT_TOKEN_ID = 31      # (synthetic vocab reserves 0..31; real vocabs register
-                        # them via UnigramVocab.register_special)
+# <<ENT>>/<<SEP>> constants above are the SYNTHETIC-vocab ids (reserved range
+# 0..31); with a real vocab the encoders read tok.sp, whose ids come from the
+# vocabulary / manifest registration (GLiNERTokenizer.swift:458-460).
 
 
 @dataclass
@@ -74,10 +75,10 @@ def encode_plain(text: str, tok: WordTokenizer, max_length: int = 384,
         cls_id, sep_id, pad_id = (tok.vocab.cls_id, tok.vocab.sep_id,
                                   tok.vocab.pad_id)
     else:
-        from .tokenizer import PAD_ID, viterbi_tokenize
+        from .tokenizer import viterbi_tokenize
 
         pieces = viterbi_tokenize(text, tok.seed) if text else []
-        cls_id, sep_id, pad_id = CLS_ID, SEP_ID, PAD_ID
+        cls_id, sep_id, pad_id = tok.sp.cls, tok.sp.sep, tok.sp.pad
     content = pieces[: max(0, max_length - 2)]
     ids = [cls_id, *content, sep_id]
     mask = [1] * len(ids)
@@ -94,25 +95,28 @@ def encode_plain(text: str, tok: WordTokenizer, max_length: int = 384,
 def encode_prompted(text: str, labels: list[str],
                     tok: WordTokenizer) -> PromptEncoding:
     """M5 (GLiNERTokenizer.swift:151-265)."""
+    sp = tok.sp          # vocab-resolved special ids (ADVICE r2: real vocabs
+    #                      must emit THEIR [CLS]/<<ENT>>/<<SEP>> ids)
     if not labels:
         return PromptEncoding(
-            input_ids=np.array([CLS_ID, SEP_ID], dtype=np.int32),
+            input_ids=np.array([sp.cls, sp.sep], dtype=np.int32),
             attention_mask=np.array([1, 1], dtype=np.int32),
             word_mask=np.array([0, 0], dtype=np.int32),
             class_positions=[], words=[],
             word_starts=np.empty(0, dtype=np.int64),
             word_ends=np.empty(0, dtype=np.int64), text_word_count=0)
-    ids: list[int] = [CLS_ID]
+    ids: list[int] = [sp.cls]
     word_mask: list[int] = [0]
     class_positions: list[int] = []
+    ent_id, sept_id = sp.require("ent"), sp.require("sept")
     for label in labels:
         class_positions.append(len(ids))
-        ids.append(ENT_TOKEN_ID)
+        ids.append(ent_id)
         word_mask.append(0)
         for pid in tok.ids(label):           # labels NOT lowercased on v1
             ids.append(pid)
             word_mask.append(0)
-    ids.append(SEPT_TOKEN_ID)
+    ids.append(sept_id)
     word_mask.append(0)
     word_tuples = split_words(text)
     words = [w for w, _, _ in word_tuples]
@@ -125,7 +129,7 @@ def encode_prompted(text: str, labels: list[str],
         for k, pid in enumerate(pieces):
             ids.append(pid)
             word_mask.append(wi + 1 if k == 0 else 0)
-    ids.append(SEP_ID)
+    ids.append(sp.sep)
     word_mask.append(0)
     return PromptEncoding(
         input_ids=np.asarray(ids, dtype=np.int32),

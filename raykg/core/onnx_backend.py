@@ -10,18 +10,28 @@ pipeline code.
 
 Import-guarded: onnxruntime does not exist in this sandbox, so constructing
 the backend here raises a clear error; the manifest parsing, session
-layout, and head→output dataflow are real code, exercised by tests up to
-the session boundary.
+layout, and head→output dataflow are real code, exercised end-to-end by a
+mocked-``InferenceSession`` pytest (tests/test_core.py).
 
 Session-per-head layout (once per actor — the Ray analogue of
 GLiNERModel.init loading five Core ML models once):
   encoder          input_ids[1,S], attention_mask[1,S] → hidden[1,S,H]
-  span_rep         token_embeddings[1,S,H], span_idx[1,S*W,2] → span[1,S,W,H]
+  span_rep         token_embeddings[1,S,H], span_idx[1,S*W,2] → the FULL
+                   (S, W) span grid [1,S,W,H] — one row per (word, width)
+                   pair exactly as supplied (GLiNER2SpanPipeline.swift:
+                   103-113 pads spanIndices to S*W and trims the output
+                   back to the word count); valid plan entries are gathered
+                   AFTER the reshape, so a head that really emits the grid
+                   and one that emits only masked rows can't be confused.
   classifier       schema_embeddings[1,P,H] → logits[1,P]
-  count_predictor  prompt_embeddings[P,H] → count_logits[C+1]
-  count_embed      label_embeddings[L,H] → structure[maxCount,L,H]
+  count_predictor  prompt_embeddings[1,H] → count_logits[C+1]
+                   (fed the [P] marker embedding ONLY,
+                   GLiNER2SpanPipeline.swift:115)
+  count_embed      label_embeddings[L,H] → structure[maxCount,L,H], prefix-
+                   trimmed to predictedCount (GLiNER2SpanPipeline.swift:
+                   117-123); instance 0 feeds the span-score dot (D1).
 These mirror the Core ML feature names in the reference wrappers
-(GLiNER2SpanRepresentationModel / GLiNER2ClassificationModel /
+(GLiNER2SpanRepresentationModel / GLiNER2ClassifierModel /
 GLiNER2CountPredictorModel / GLiNER2CountEmbedModel).
 """
 
@@ -30,7 +40,7 @@ from __future__ import annotations
 import numpy as np
 
 from .manifest import ModelManifest
-from .tokenizer import SchemaEncoding, WordTokenizer
+from .tokenizer import SchemaEncoding, WordTokenizer, encode_schema
 
 try:
     import onnxruntime as _ort
@@ -43,49 +53,77 @@ class OnnxBackend:
 
     Construct once per actor (``MentionExtractor`` with
     ``backend_factory=OnnxBackend`` semantics); batched inference per
-    ``__call__`` through the same span_scores surface the surrogate has."""
+    ``__call__`` through the same span_scores/classify surface the
+    surrogate has."""
 
     def __init__(self, manifest_path: str, seed: int = 0,
-                 providers: list[str] | None = None) -> None:
-        if _ort is None:
+                 providers: list[str] | None = None,
+                 session_factory=None, max_span_width: int | None = None) -> None:
+        """``session_factory(path)`` overrides onnxruntime session creation —
+        the mocked-session test hook; production leaves it None."""
+        self.manifest = ModelManifest.load(manifest_path)
+        if session_factory is None and _ort is None:
             raise ImportError(
                 "onnxruntime is not available in this environment; the "
                 "OnnxBackend is the production slot — use SurrogateBackend "
                 "(default) for deterministic in-sandbox runs")
-        self.manifest = ModelManifest.load(manifest_path)
         self.tokenizer = WordTokenizer(seed,
                                        vocab_dir=self.manifest.tokenizer_dir)
         if self.tokenizer.vocab is None:
             raise ValueError("OnnxBackend requires a real tokenizer.json "
                              f"under {self.manifest.tokenizer_dir}")
-        opts = _ort.SessionOptions()
-        opts.graph_optimization_level = \
-            _ort.GraphOptimizationLevel.ORT_ENABLE_ALL
-        prov = providers or ["CPUExecutionProvider"]
+        self.max_span_width = max_span_width or self.manifest.max_width
+        if session_factory is None:
+            opts = _ort.SessionOptions()
+            opts.graph_optimization_level = \
+                _ort.GraphOptimizationLevel.ORT_ENABLE_ALL
+            prov = providers or ["CPUExecutionProvider"]
+
+            def session_factory(path):
+                return _ort.InferenceSession(path, opts, providers=prov)
         self.sessions = {
-            name: _ort.InferenceSession(path, opts, providers=prov)
+            name: session_factory(path)
             for name, path in self.manifest.artifacts.items()
         }
 
     # -- the ScorerBackend surface ----------------------------------------
     def forward(self, enc: SchemaEncoding) -> tuple[np.ndarray, np.ndarray]:
+        """Encoder pass → (word_embs, per-label prompt embeddings).
+
+        Word embedding = hidden state at the word's FIRST subword; prompt
+        embedding = MEAN of the label's subword range
+        (GLiNER2SchemaProjector.swift:44-95)."""
+        hidden = self._encode(enc)
+        word_embs = hidden[enc.word_first_subword]
+        prompts = np.stack([
+            hidden[a:b].mean(axis=0) if b > a
+            else np.zeros(self.manifest.hidden_size, dtype=hidden.dtype)
+            for a, b in enc.prompt_ranges]) if enc.prompt_ranges else \
+            np.empty((0, self.manifest.hidden_size))
+        return word_embs, prompts
+
+    def _encode(self, enc: SchemaEncoding) -> np.ndarray:
         ids = enc.input_ids[None, :].astype(np.int64)
         mask = np.ones_like(ids)
         (hidden,) = self.sessions["encoder"].run(
             None, {"input_ids": ids, "attention_mask": mask})
-        hidden = hidden[0]                       # (S, H)
-        word_embs = hidden[enc.word_first_subword]
-        prompts = np.stack([
-            hidden[a:b].mean(axis=0) if b > a
-            else np.zeros(self.manifest.hidden_size)
-            for a, b in enc.prompt_ranges])
-        return word_embs, prompts
+        return np.asarray(hidden)[0]             # (S, H)
+
+    def _p_embedding(self, hidden: np.ndarray) -> np.ndarray:
+        """[P] marker embedding — the count predictor's ONLY input
+        (GLiNER2SpanPipeline.swift:79-81,115). encode_schema always emits
+        the [P] marker at position 1 ([CLS] [P] entities ( …)."""
+        return hidden[1]
 
     def span_scores(self, enc: SchemaEncoding,
                     threshold: float | None = None):
-        word_embs, prompt_embs = self.forward(enc)
+        hidden = self._encode(enc)
+        word_embs = hidden[enc.word_first_subword]
+        prompt_embs = np.stack([hidden[a:b].mean(axis=0)
+                                for a, b in enc.prompt_ranges])
         (count_logits,) = self.sessions["count_predictor"].run(
-            None, {"prompt_embeddings": prompt_embs.astype(np.float32)})
+            None, {"prompt_embeddings":
+                   self._p_embedding(hidden)[None].astype(np.float32)})
         from .scorer import SurrogateBackend
 
         predicted = SurrogateBackend.argmax_count(
@@ -95,13 +133,54 @@ class OnnxBackend:
             return np.empty((0, n_labels)), enc
         (structure,) = self.sessions["count_embed"].run(
             None, {"label_embeddings": prompt_embs.astype(np.float32)})
-        labels = np.asarray(structure)[0]        # instance 0 feeds D1
-        span_idx = np.stack([enc.span_starts,
-                             enc.span_starts + enc.span_widths], axis=1)
+        # prefix-trim to predictedCount (GLiNER2SpanPipeline.swift:117-123);
+        # instance 0 is what the span scorer consumes
+        structure = np.asarray(structure)[:predicted]
+        labels = structure[0]                    # (L, H)
+        # full (S, W) grid span_idx — ends clamped to the last word, exactly
+        # the shape the exported head was traced with; invalid (start+width
+        # >= S) grid cells are never read because gathering below uses the
+        # VALID span plan only
+        s_words = len(enc.words)
+        w_max = self.max_span_width
+        grid_start = np.repeat(np.arange(s_words, dtype=np.int64), w_max)
+        grid_end = np.minimum(grid_start
+                              + np.tile(np.arange(w_max, dtype=np.int64),
+                                        s_words), s_words - 1)
+        span_idx = np.stack([grid_start, grid_end], axis=1)
         (span_embs,) = self.sessions["span_rep"].run(
-            None, {"token_embeddings":
-                   word_embs[None].astype(np.float32),
-                   "span_idx": span_idx[None].astype(np.int64)})
-        flat = np.asarray(span_embs).reshape(-1, labels.shape[-1])
-        flat = flat[: len(enc.span_starts)]
+            None, {"token_embeddings": word_embs[None].astype(np.float32),
+                   "span_idx": span_idx[None]})
+        grid = np.asarray(span_embs).reshape(s_words, w_max, -1)   # (S, W, H)
+        flat = grid[enc.span_starts, enc.span_widths]              # (n_spans, H)
         return flat @ np.asarray(labels).T, enc
+
+    # -- A3 + M13: classification ----------------------------------------
+    def classify(self, text: str, labels: list[str], multi_label: bool = False,
+                 threshold: float = 0.5) -> list[tuple[str, float]]:
+        """Text-level classification through the classifier head. Labels
+        ride the schema prompt with the [C] marker (GLiNERModel.swift:
+        207-245); the head consumes the schema prompt embeddings and emits
+        one logit per prompt; M13 post-processing — sigmoid each
+        (multi-label) or max-stabilized softmax, keep ≥ threshold, sort
+        score desc (GLiNERModel.swift:247-302)."""
+        if not labels:
+            return []
+        enc = encode_schema(text, labels, self.tokenizer,
+                            self.max_span_width, kinds=["C"] * len(labels))
+        hidden = self._encode(enc)
+        prompt_embs = np.stack([hidden[a:b].mean(axis=0)
+                                for a, b in enc.prompt_ranges])
+        (logits,) = self.sessions["classifier"].run(
+            None, {"schema_embeddings": prompt_embs[None].astype(np.float32)})
+        logits = np.asarray(logits).ravel()[: len(labels)].astype(np.float64)
+        if multi_label:
+            scores = 1.0 / (1.0 + np.exp(-logits))
+        else:
+            z = logits - logits.max()
+            ez = np.exp(z)
+            scores = ez / ez.sum()
+        pairs = [(l, float(s)) for l, s in zip(labels, scores)
+                 if s >= threshold]
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        return pairs

@@ -119,6 +119,54 @@ def viterbi_tokenize(word: str, seed: int) -> list[int]:
     return [piece_id(p, seed) for p in pieces]
 
 
+@dataclass
+class SpecialIds:
+    """Effective ids of every structural/special token the encoders emit.
+
+    With the synthetic vocab these are the reserved constants (0..31); with a
+    REAL tokenizer.json they are resolved from the vocabulary itself —
+    [CLS]/[SEP]/[PAD]/[UNK] from the required pieces, the GLiNER2 schema
+    markers ([P]/[E]/[C]/[R]/[L]/[SEP_TEXT]) from added_tokens (the
+    reference's resource layout carries them there: [P]=128003, [E]=128005 …,
+    Sources/GLiNERSwift/Resources/tokenizer/added_tokens.json), and the
+    legacy <<ENT>>/<<SEP>> markers from manifest-driven ``register_special``
+    (GLiNERTokenizer.swift:458-460). A marker absent from a real vocab is
+    ``None`` — using it raises at encode time, because silently emitting a
+    synthetic constant would collide with real content-piece ids (ADVICE r2).
+    """
+
+    cls: int
+    sep: int
+    pad: int
+    unk: int
+    p: int | None
+    e: int | None
+    c: int | None
+    r: int | None
+    l: int | None
+    sep_text: int | None
+    ent: int | None
+    sept: int | None
+
+    def require(self, name: str) -> int:
+        got = getattr(self, name)
+        if got is None:
+            raise ValueError(
+                f"special token {name!r} is not in the loaded vocabulary — "
+                "add it to added_tokens.json or register it via "
+                "WordTokenizer.register_special before encoding")
+        return got
+
+
+# legacy GLiNER1 markers in the synthetic reserved range (real vocabs
+# register them from manifest metadata, GLiNERTokenizer.swift:458-460)
+ENT_ID, SEPT_ID = 30, 31
+
+_SYNTHETIC_SPECIALS = SpecialIds(
+    cls=CLS_ID, sep=SEP_ID, pad=PAD_ID, unk=UNK_ID, p=P_ID, e=E_ID, c=C_ID,
+    r=R_ID, l=L_ID, sep_text=SEP_TEXT_ID, ent=ENT_ID, sept=SEPT_ID)
+
+
 class WordTokenizer:
     """Per-word memoizing tokenizer (actor-level cache, A10 analogue).
 
@@ -129,12 +177,38 @@ class WordTokenizer:
     - otherwise the deterministic synthetic vocab (``viterbi_tokenize``) —
       the sandbox ships no model weights (reference
       Sources/GLiNERSwift/Resources/README.md), so tests/benches stay
-      self-contained while real deployments drop in their model directory."""
+      self-contained while real deployments drop in their model directory.
 
-    def __init__(self, seed: int, vocab_dir: str | None = None) -> None:
+    ``special_tokens`` (token → id) registers extra markers on a real vocab
+    at construction — the manifest path for <<ENT>>/<<SEP>>."""
+
+    def __init__(self, seed: int, vocab_dir: str | None = None,
+                 special_tokens: dict[str, int] | None = None) -> None:
         self.seed = seed
         self.vocab = UnigramVocab.maybe_load(vocab_dir)
         self._cache: dict[str, list[int]] = {}
+        if self.vocab is not None and special_tokens:
+            for token, tid in special_tokens.items():
+                self.vocab.register_special(token, tid)
+        self.sp = self._resolve_specials()
+
+    def _resolve_specials(self) -> SpecialIds:
+        v = self.vocab
+        if v is None:
+            return _SYNTHETIC_SPECIALS
+        return SpecialIds(
+            cls=v.cls_id, sep=v.sep_id, pad=v.pad_id, unk=v.unk_id,
+            p=v.token_id("[P]"), e=v.token_id("[E]"), c=v.token_id("[C]"),
+            r=v.token_id("[R]"), l=v.token_id("[L]"),
+            sep_text=v.token_id("[SEP_TEXT]"),
+            ent=v.token_id("<<ENT>>"), sept=v.token_id("<<SEP>>"))
+
+    def register_special(self, token: str, token_id: int) -> None:
+        """Register a marker on the REAL vocab and re-resolve (no-op for the
+        synthetic vocab, whose reserved range already carries every marker)."""
+        if self.vocab is not None:
+            self.vocab.register_special(token, token_id)
+            self.sp = self._resolve_specials()
 
     def ids(self, word: str) -> list[int]:
         got = self._cache.get(word)
@@ -185,17 +259,19 @@ def encode_schema(text: str, labels: list[str], tok: WordTokenizer,
     passes 'C' (labels arrive pre-prefixed ``"[C] <label>"`` in the reference,
     GLiNERModel.swift:218 — here the kind marker token is emitted directly)."""
     kinds = kinds or ["E"] * len(labels)
-    ids: list[int] = [CLS_ID, P_ID]
+    sp = tok.sp          # vocab-resolved ids — real vocabs use the model's
+    ids: list[int] = [sp.cls, sp.require("p")]
     ids.extend(_literal_ids(tok, "entities"))
     ids.extend(tok.ids("("))
     prompt_ranges: list[tuple[int, int]] = []
+    kind_attr = {"E": "e", "C": "c", "R": "r", "L": "l"}
     for label, kind in zip(labels, kinds):
-        ids.append({"E": E_ID, "C": C_ID, "R": R_ID, "L": L_ID}[kind])
+        ids.append(sp.require(kind_attr[kind]))
         start = len(ids)
         ids.extend(_literal_ids(tok, label.lower()))
         prompt_ranges.append((start, len(ids)))
     ids.extend(tok.ids(")"))
-    ids.append(SEP_TEXT_ID)
+    ids.append(sp.require("sep_text"))
     text_start = len(ids)
 
     word_tuples = split_words(text)
@@ -206,7 +282,7 @@ def encode_schema(text: str, labels: list[str], tok: WordTokenizer,
     for i, w in enumerate(words):
         first_sub[i] = len(ids)
         ids.extend(tok.ids(w.lower()))   # text words lowercased (GLiNERTokenizer.swift:306)
-    ids.append(SEP_ID)
+    ids.append(sp.sep)
 
     ss, ww = _span_plan(len(words), max_span_width)
     return SchemaEncoding(
