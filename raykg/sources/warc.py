@@ -131,31 +131,202 @@ def warc_to_pages(data: bytes, default_lang: str = "en") -> pa.Table:
     }, schema=PAGES_SCHEMA)
 
 
-def read_warc(paths: list[str] | str):
-    """WARC file(s) → pages Dataset: one read task per file, streaming
-    record parse inside the task, pages rows out (S-source for the KG
-    pipeline: ``extract_stage(read_warc([...]))``)."""
+# -- streaming record iterator (bounded memory per task) --------------------
+
+_READ_CHUNK = 1 << 20          # 1 MiB compressed reads
+_EMIT_ROWS = 512               # rows per emitted pages block
+
+
+_BAD = object()          # malformed-head sentinel
+
+
+def _try_parse_record(buf: bytearray, pos: int):
+    """Parse ONE complete record out of ``buf`` starting at ``pos``.
+
+    Returns (headers, payload, next_pos); None when the buffer does not yet
+    hold the whole record (caller feeds more data); (_BAD, ...) on a
+    malformed record head."""
+    n = len(buf)
+    while buf[pos:pos + 2] == _CRLF:
+        pos += 2
+    if pos >= n:
+        return None
+    head_end = buf.find(_CRLF + _CRLF, pos)
+    if head_end < 0:
+        return None
+    head = buf[pos:head_end].decode("utf-8", "replace")
+    lines = head.split("\r\n")
+    if not lines or not lines[0].startswith("WARC/"):
+        return (_BAD, b"", n)
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    length = int(headers.get("content-length", "0"))
+    body_start = head_end + 4
+    if body_start + length > n:
+        return None
+    return headers, bytes(buf[body_start:body_start + length]), body_start + length
+
+
+def iter_warc_records(fileobj, limit: int | None = None):
+    """Stream (headers, payload) records from a WARC / .warc.gz file object,
+    reading at most ``limit`` COMPRESSED bytes (None = to EOF) and holding
+    only the current record + one read chunk in memory — never the file.
+
+    Gzip members are decoded member-at-a-time with a restarting
+    ``zlib.decompressobj`` (the CC .warc.gz layout concatenates one member
+    per record); plain WARC bytes pass straight through."""
+    remaining = limit
+    first = fileobj.read(2 if remaining is None else min(2, remaining))
+    if remaining is not None:
+        remaining -= len(first)
+    gz = first == b"\x1f\x8b"
+    d = zlib.decompressobj(wbits=31) if gz else None
+    buf = bytearray()
+
+    def feed(chunk: bytes) -> None:
+        nonlocal d
+        if not gz:
+            buf.extend(chunk)
+            return
+        data = chunk
+        while data:
+            buf.extend(d.decompress(data))
+            if d.eof:                      # member boundary -> restart decoder
+                data = d.unused_data
+                d = zlib.decompressobj(wbits=31)
+            else:
+                data = b""
+
+    feed(first)
+    eof = not first
+    pos = 0
+    while True:
+        got = _try_parse_record(buf, pos)
+        if got is not None:
+            headers, payload, pos = got
+            if headers is _BAD:
+                return
+            yield headers, payload
+            continue
+        if pos:                            # compact consumed prefix
+            del buf[:pos]
+            pos = 0
+        if eof:
+            return
+        want = _READ_CHUNK if remaining is None else min(_READ_CHUNK, remaining)
+        chunk = fileobj.read(want) if want > 0 else b""
+        if not chunk:
+            eof = True
+            continue
+        if remaining is not None:
+            remaining -= len(chunk)
+        feed(chunk)
+
+
+def _records_to_pages(records, default_lang: str = "en"):
+    """Streaming analogue of ``warc_to_pages``: yields pages-schema Tables of
+    ≤ _EMIT_ROWS rows so a giant input never becomes one giant block."""
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+
+    def flush():
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }, schema=PAGES_SCHEMA)
+
+    for headers, payload in records:
+        rtype = headers.get("warc-type")
+        if rtype not in ("response", "conversion"):
+            continue
+        url = headers.get("warc-target-uri", "")
+        if not url:
+            continue
+        if rtype == "response":
+            html = _http_body(payload)
+            text = extract_text(html)
+        else:
+            html = b""
+            text = payload.decode("utf-8", "replace")
+        urls.append(url)
+        tss.append(_parse_warc_date(headers.get("warc-date",
+                                                "1970-01-01T00:00:00Z")))
+        htmls.append(html)
+        texts.append(text)
+        langs.append(headers.get("warc-identified-content-language",
+                                 default_lang).split(",")[0])
+        if len(urls) >= _EMIT_ROWS:
+            yield flush()
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+    if urls:
+        yield flush()
+
+
+def read_warc_splits(units: list[dict]):
+    """CC-index work units → pages Dataset (VERDICT r2 #6, the scale path).
+
+    Each unit is ``{"path": str, "offset": int, "length": int}`` — the shape
+    the Common Crawl index publishes (every record is its own gzip member at
+    a known offset/length, so a unit decodes independently). One task per
+    unit: seek to offset, stream at most ``length`` compressed bytes through
+    the member-at-a-time decoder, emit bounded pages blocks. ``length`` ≤ 0 /
+    missing means "to EOF" (whole-file unit). Per-task memory is
+    O(read chunk + one record), never O(file)."""
     import ray.data as rd
 
-    files = rd.read_binary_files(paths)
+    def parse(batch: pa.Table):
+        empty = True
+        for path, offset, length in zip(batch.column("path").to_pylist(),
+                                        batch.column("offset").to_pylist(),
+                                        batch.column("length").to_pylist()):
+            with open(path, "rb") as f:
+                if offset:
+                    f.seek(offset)
+                limit = length if length and length > 0 else None
+                for tbl in _records_to_pages(iter_warc_records(f, limit)):
+                    empty = False
+                    yield tbl
+        if empty:
+            yield pa.table({n: [] for n in PAGES_SCHEMA.names},
+                           schema=PAGES_SCHEMA)
 
-    def parse(batch: pa.Table) -> pa.Table:
-        tables = [warc_to_pages(b) for b in
-                  (bytes(x) for x in batch.column("bytes").to_pylist())]
-        return pa.concat_tables(tables) if tables else \
-            pa.table({n: [] for n in PAGES_SCHEMA.names}, schema=PAGES_SCHEMA)
+    items = pa.table({
+        "path": pa.array([str(u["path"]) for u in units], pa.string()),
+        "offset": pa.array([int(u.get("offset", 0)) for u in units], pa.int64()),
+        "length": pa.array([int(u.get("length", 0)) for u in units], pa.int64()),
+    })
+    return rd.from_arrow(items).map_batches(parse, batch_format="pyarrow",
+                                            batch_size=1)
 
-    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+def read_warc(paths: list[str] | str):
+    """WARC file(s) → pages Dataset: one streaming read task per file
+    (whole-file units through the byte-range reader — same bounded-memory
+    path; S-source for the KG pipeline:
+    ``extract_stage(read_warc([...]))``). With a CC index in hand, call
+    ``read_warc_splits`` directly for intra-file parallelism."""
+    if isinstance(paths, str):
+        import os
+
+        paths = [os.path.join(paths, f) for f in sorted(os.listdir(paths))] \
+            if os.path.isdir(paths) else [paths]
+    return read_warc_splits([{"path": p} for p in paths])
 
 
 # -- synthetic WARC writer (tests / fixtures) -------------------------------
 
 def write_warc(path: str, rows: list[dict], compress: bool = False,
-               wet: bool = False) -> str:
+               wet: bool = False, index: list | None = None) -> str:
     """pages-shaped rows → a spec-conformant WARC file (optionally as
     per-record gzip members, the CC layout). ``wet=True`` writes
     ``conversion`` records whose payload is the text column (the WET
-    sibling format)."""
+    sibling format). ``index`` (optional list) receives one
+    ``(offset, length)`` per record — the CC-index shape that
+    ``read_warc_splits`` consumes."""
     out = io.BytesIO()
     for r in rows:
         if wet:
@@ -175,6 +346,7 @@ def write_warc(path: str, rows: list[dict], compress: bool = False,
                  + _CRLF if r.get("lang") else b"") +
                 b"Content-Length: " + str(len(http)).encode() + _CRLF + _CRLF)
         record = head + http + _CRLF + _CRLF
+        start = out.tell()
         if compress:
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb") as gz:
@@ -182,6 +354,8 @@ def write_warc(path: str, rows: list[dict], compress: bool = False,
             out.write(buf.getvalue())
         else:
             out.write(record)
+        if index is not None:
+            index.append((start, out.tell() - start))
     with open(path, "wb") as f:
         f.write(out.getvalue())
     return path
