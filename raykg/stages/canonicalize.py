@@ -245,6 +245,38 @@ def alias_components(pairs_ds, driver_budget: int = 2_000_000) -> dict[int, int]
     return out
 
 
+def alias_components_auto(pairs_ds, driver_budget: int = 2_000_000,
+                          map_budget: int = 20_000_000):
+    """Size-adaptive alias resolution (VERDICT r2 #7): returns a plain dict
+    while the merged-surface map fits the driver (``apply_alias_merge`` /
+    ``finalize_edges`` broadcast it), and a (node, root) DATASET beyond
+    ``map_budget`` (the same two functions then run their bucketized-join
+    path — the map never touches the driver). Both representations produce
+    byte-identical nodes/edges (pytest-pinned)."""
+    pairs_mat = pairs_ds.materialize()
+    if pairs_mat.count() <= driver_budget:
+        return components_driver(pairs_mat)
+    labels = components_distributed(pairs_mat)
+
+    def merged_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.invert(pc.equal(b.column("node"),
+                                           b.column("root"))))
+
+    merged = labels.map_batches(merged_only,
+                                batch_format="pyarrow").materialize()
+    if merged.count() <= map_budget:
+        out: dict[int, int] = {}
+        for batch in merged.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow"):
+            for node, root in zip(batch.column("node").to_pylist(),
+                                  batch.column("root").to_pylist()):
+                out[int(node)] = int(root)
+        return out
+    return merged
+
+
 def components_driver(pairs_ds) -> dict[int, int]:
     """Union-find on the driver. Bounded by the candidate-pair count (pairs
     exist only among near-duplicate distinct surfaces), NOT corpus size —
@@ -371,11 +403,42 @@ def components_distributed(pairs_ds, max_rounds: int = 64):
         f"components_distributed did not converge in {max_rounds} rounds")
 
 
-def apply_alias_merge(nodes_ds, alias_map: dict[int, int]):
+def _remerge_nodes(df: pd.DataFrame) -> pd.DataFrame:
+    """Re-merge node rows sharing a (rewritten) node_id: deterministic
+    canonical winner (most mentions, ties by lexicographic surface), alias
+    union capped at _MAX_ALIASES, label by summed mention votes. Shared by
+    the broadcast-dict AND bucketized-join alias paths, so the two are
+    byte-identical by construction."""
+    out = {"node_id": [], "canonical": [], "label": [], "aliases": [],
+           "mention_count": []}
+    for nid, g in df.groupby("node_id", sort=True):
+        g2 = g.sort_values(["mention_count", "canonical"],
+                           ascending=[False, True], kind="stable")
+        canon = g2["canonical"].iloc[0]
+        aliases = sorted({a for al in g2["aliases"] for a in al} |
+                         set(g2["canonical"]) - {canon})[:_MAX_ALIASES]
+        lc: dict[str, int] = {}
+        for lab, cnt in zip(g2["label"], g2["mention_count"]):
+            lc[lab] = lc.get(lab, 0) + int(cnt)
+        out["node_id"].append(int(nid))
+        out["canonical"].append(canon)
+        out["label"].append(max(lc.items(), key=lambda kv: (kv[1], kv[0]))[0])
+        out["aliases"].append(aliases)
+        out["mention_count"].append(int(g2["mention_count"].sum()))
+    return pd.DataFrame(out)
+
+
+def apply_alias_merge(nodes_ds, alias_map):
     """Rewrite node rows through the alias map and re-merge the affected
     rows. Unaffected nodes (the overwhelming majority) stream through
     untouched — only rows whose id is a key OR root of the alias map enter
-    the (bucketized) regroup."""
+    the (bucketized) regroup.
+
+    ``alias_map`` is either a broadcastable dict (node → root) or a
+    Dataset of (node, root) rows for maps that exceed driver memory — the
+    bucketized-join path (VERDICT r2 #7); both produce identical nodes."""
+    if not isinstance(alias_map, dict):
+        return _apply_alias_merge_join(nodes_ds, alias_map)
     if not alias_map:
         return nodes_ds
     affected = set(alias_map) | set(alias_map.values())
@@ -390,26 +453,6 @@ def apply_alias_merge(nodes_ds, alias_map: dict[int, int]):
         mask = pa.array([(i in affected) == keep_affected for i in ids])
         return b.filter(mask)
 
-    def remerge(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"node_id": [], "canonical": [], "label": [], "aliases": [],
-               "mention_count": []}
-        for nid, g in df.groupby("node_id", sort=True):
-            # deterministic winner: most mentions, ties by lexicographic surface
-            g2 = g.sort_values(["mention_count", "canonical"],
-                               ascending=[False, True], kind="stable")
-            canon = g2["canonical"].iloc[0]
-            aliases = sorted({a for al in g2["aliases"] for a in al} |
-                             set(g2["canonical"]) - {canon})[:_MAX_ALIASES]
-            lc: dict[str, int] = {}
-            for lab, cnt in zip(g2["label"], g2["mention_count"]):
-                lc[lab] = lc.get(lab, 0) + int(cnt)
-            out["node_id"].append(int(nid))
-            out["canonical"].append(canon)
-            out["label"].append(max(lc.items(), key=lambda kv: (kv[1], kv[0]))[0])
-            out["aliases"].append(aliases)
-            out["mention_count"].append(int(g2["mention_count"].sum()))
-        return pd.DataFrame(out)
-
     from .shuffle import bucketed_group_apply
 
     untouched = nodes_ds.map_batches(lambda b: split(b, False),
@@ -417,5 +460,64 @@ def apply_alias_merge(nodes_ds, alias_map: dict[int, int]):
     merged = bucketed_group_apply(
         nodes_ds.map_batches(lambda b: split(b, True), batch_format="pyarrow")
                 .map_batches(rewrite, batch_format="pyarrow"),
-        ["node_id"], remerge, num_buckets=8)
+        ["node_id"], _remerge_nodes, num_buckets=8)
+    return untouched.union(merged)
+
+
+def _apply_alias_merge_join(nodes_ds, alias_ds, num_buckets: int = 32):
+    """Dataset-native alias application: the (node, root) map never touches
+    the driver. One bucketized hash-join co-locates each node row with its
+    map entry (probe side) and with any map entries POINTING at it (root
+    markers — such rows must enter the regroup even though their own id is
+    unmapped); rewritten affected rows then re-merge through the same
+    ``_remerge_nodes`` the broadcast path uses."""
+    from .shuffle import bucketed_group_apply
+
+    def map_rows(b: pa.Table) -> pa.Table:
+        """(node, root) → build rows keyed by node (kind 1) + root markers
+        keyed by root (kind 2), with empty node payload columns."""
+        nodes = b.column("node").to_pylist()
+        roots = b.column("root").to_pylist()
+        n = len(nodes)
+        empty_s = pa.array([""] * (2 * n), pa.string())
+        return pa.table({
+            "node_id": pa.array(nodes + roots, pa.int64()),
+            "canonical": empty_s, "label": empty_s,
+            "aliases": pa.array([[]] * (2 * n), pa.list_(pa.string())),
+            "mention_count": pa.array([0] * (2 * n), pa.int64()),
+            "___root": pa.array(roots + [0] * n, pa.int64()),
+            "___kind": pa.array([1] * n + [2] * n, pa.int32())})
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return b.append_column("___root", pa.array([0] * n, pa.int64()))                 .append_column("___kind", pa.array([0] * n, pa.int32()))
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = dict(zip(df.loc[df["___kind"] == 1, "node_id"],
+                     df.loc[df["___kind"] == 1, "___root"]))
+        roots = set(df.loc[df["___kind"] == 2, "node_id"])
+        out = df[df["___kind"] == 0].copy(deep=False)
+        ids = out["node_id"]
+        aff = ids.isin(m.keys()) | ids.isin(roots)
+        out["node_id"] = ids.map(lambda i: m.get(i, i)).astype("int64")
+        # arrow list columns surface as numpy arrays per element after the
+        # pandas round-trip; normalize to plain lists so the block converts
+        # back to Arrow cleanly downstream
+        out["aliases"] = [list(a) for a in out["aliases"]]
+        out["___aff"] = aff.astype("int32")
+        return out.drop(columns=["___root", "___kind"])
+
+    def take_aff(df: pd.DataFrame, want: int) -> pd.DataFrame:
+        return df[df["___aff"] == want].drop(columns=["___aff"])
+
+    tagged = nodes_ds.map_batches(node_rows, batch_format="pyarrow") \
+        .union(alias_ds.map_batches(map_rows, batch_format="pyarrow"))
+    joined = bucketed_group_apply(tagged, ["node_id"], join_bucket,
+                                  num_buckets=num_buckets).materialize()
+
+    untouched = joined.map_batches(lambda df: take_aff(df, 0),
+                                   batch_format="pandas")
+    merged = bucketed_group_apply(
+        joined.map_batches(lambda df: take_aff(df, 1), batch_format="pandas"),
+        ["node_id"], _remerge_nodes, num_buckets=8)
     return untouched.union(merged)

@@ -602,3 +602,63 @@ def test_warc_byte_range_splits(ray_session, tmp_path):
                              "length": pidx[3][0] + pidx[3][1] - pidx[2][0]}]) \
         .to_pandas()
     assert sorted(got["url"]) == sorted(r["url"] for r in rows[2:4])
+
+
+def test_alias_map_dataset_path_byte_identical(ray_session):
+    """VERDICT r2 #7: the bucketized-join alias path (map as a (node, root)
+    Dataset — beyond-driver-memory shape) produces byte-identical nodes AND
+    edges to the broadcast-dict path."""
+    import ray.data as rd
+
+    from raykg.core.canonical import node_id
+    from raykg.stages.canonicalize import (alias_components_auto, alias_pairs,
+                                           apply_alias_merge,
+                                           components_driver)
+    from raykg.stages.graph import aggregate_edges, finalize_edges
+
+    surfaces = ["acme analytics", "acme analytic", "acme analytica",
+                "zeta metrics", "zeta metrica", "unrelated thing"]
+    nodes = rd.from_pandas(pd.DataFrame({
+        "node_id": [node_id(s) for s in surfaces],
+        "canonical": surfaces,
+        "label": ["organization"] * 6,
+        "aliases": [[s] for s in surfaces],
+        "mention_count": [5, 1, 1, 3, 2, 2],
+    })).materialize()
+    amap = components_driver(alias_pairs(nodes))
+    assert amap                                  # the fixture really merges
+    amap_ds = rd.from_pandas(pd.DataFrame({
+        "node": pd.Series(list(amap.keys()), dtype="int64"),
+        "root": pd.Series(list(amap.values()), dtype="int64")}))
+
+    via_dict = apply_alias_merge(nodes, amap).to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    via_join = apply_alias_merge(nodes, amap_ds).to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_dict, via_join)
+
+    triples = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4], "url": ["u1", "u2", "u3", "u4"],
+        "subj": ["acme analytics", "acme analytic", "zeta metrics",
+                 "acme analytics"],
+        "pred": ["works_at"] * 4,
+        "obj": ["zeta metrica", "zeta metrics", "unrelated thing",
+                "unrelated thing"],
+        "subj_label": ["x"] * 4, "obj_label": ["y"] * 4,
+        "score": [0.9] * 4,
+    }))
+    agg = aggregate_edges(triples).materialize()
+    e_dict = finalize_edges(agg, amap).to_pandas().reset_index(drop=True)
+    e_join = finalize_edges(agg, amap_ds).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(e_dict, e_join)
+    # both endpoints were really rewritten somewhere
+    assert set(amap.values()) & (set(e_dict["src"]) | set(e_dict["dst"]))
+    assert not (set(amap.keys()) & (set(e_dict["src"]) | set(e_dict["dst"])))
+
+    # the adaptive chooser: driver path below budget, Dataset beyond
+    pairs = alias_pairs(nodes)
+    small = alias_components_auto(pairs, driver_budget=10**9)
+    assert isinstance(small, dict) and small == amap
+    ds_out = alias_components_auto(pairs, driver_budget=0, map_budget=0)
+    got = {int(r["node"]): int(r["root"]) for r in ds_out.take_all()}
+    assert got == amap
