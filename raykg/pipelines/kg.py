@@ -92,9 +92,16 @@ def extract_stage(pages_ds, labels: list[str] | None = None,
 
         from ..stages.extract import dup_url_winners, filter_dup_losers
 
-        winners = dup_url_winners(ds)
+        winners, tied_rows = dup_url_winners(ds, capture_tied_rows=True)
         if winners:
-            ds = filter_dup_losers(ds, ray.put(winners))
+            ds = filter_dup_losers(ds, ray.put(winners),
+                                   drop_tied=tied_rows is not None)
+            if tied_rows is not None:
+                # exactly one captured winner row per tied url re-enters
+                # here → one-row-per-url holds across blocks (ADVICE r2);
+                # schema matches by construction (rows are slices of ds
+                # batches)
+                ds = ds.union(ray.data.from_arrow(tied_rows))
     docs = ds.map_batches(extract_docs, batch_format="pyarrow")
     # FIXED pool size: autoscaling (1, cap) was measured 2.8× slower on a
     # 40k-page run — the ramp leaves most of the pool idle for the first

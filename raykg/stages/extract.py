@@ -86,7 +86,8 @@ def dedup_pages(pages_ds, num_buckets: int = 32):
     return deduped.drop_columns(["__h__"])
 
 
-def dup_url_winners(pages_ds, num_buckets: int = 32) -> dict:
+def dup_url_winners(pages_ds, num_buckets: int = 32,
+                    capture_tied_rows: bool = False):
     """url → winning row key, for urls appearing MORE THAN ONCE.
 
     Pass 1 aggregates a (url, warc_ts) PROJECTION (column-pruned read — html
@@ -97,7 +98,16 @@ def dup_url_winners(pages_ds, num_buckets: int = 32) -> dict:
     md5 — a deterministic content tiebreak, so resume/retry keeps the same
     winner regardless of row order (ADVICE round 1).
 
-    Returns {url: (max_ts, winner_md5 | None)}; empty dict = no dups."""
+    Returns {url: (max_ts, winner_md5 | None)}; empty dict = no dups.
+
+    With ``capture_tied_rows=True`` returns ``(winners, tied_rows)`` where
+    ``tied_rows`` is a pyarrow Table holding EXACTLY ONE full page row per
+    tied url (the winner) in the input schema, or None when there are no
+    ties. Callers union these rows back after dropping every tied-url row
+    (``filter_dup_losers(drop_tied=True)``), which closes the cross-block
+    byte-identical-duplicate residual without any shuffle: the driver-side
+    footprint is bounded by the TIE count (exact url+timestamp collisions),
+    a pathology, not by the duplicate or url count (ADVICE round 2)."""
     import pandas as pd
 
     from .shuffle import bucketed_group_apply
@@ -127,44 +137,58 @@ def dup_url_winners(pages_ds, num_buckets: int = 32) -> dict:
             winners[url] = (ts, None)
             if tied:
                 tied_urls.append(url)
+    tied_tbl = None
     if tied_urls:
         from hashlib import md5
 
         tied_set = set(tied_urls)
 
-        def tie_hashes(batch: pa.Table) -> pa.Table:
-            urls, hs, tss = [], [], []
-            for u, ts, h in zip(batch.column("url").to_pylist(),
-                                batch.column("warc_ts").to_pylist(),
-                                batch.column("html").to_pylist()):
-                if u in tied_set:
-                    urls.append(u)
-                    tss.append(ts)
-                    hs.append(md5(h or b"").hexdigest())
-            return pa.table({"url": pa.array(urls, pa.string()),
-                             "warc_ts": pa.array(tss, pa.timestamp("us")),
-                             "h": pa.array(hs, pa.string())})
+        def tie_rows(batch: pa.Table) -> pa.Table:
+            # keep only tied-url rows at their max_ts, FULL row + content
+            # hash — tie multiplicity bounds the output, not batch size
+            urls = batch.column("url").to_pylist()
+            tss = batch.column("warc_ts").to_pylist()
+            keep = [i for i, (u, ts) in enumerate(zip(urls, tss))
+                    if u in tied_set and ts == winners[u][0]]
+            sub = batch.take(pa.array(keep, pa.int64()))
+            hs = [md5(h or b"").hexdigest()
+                  for h in sub.column("html").to_pylist()]
+            return sub.append_column("__h__", pa.array(hs, pa.string()))
 
-        tied_rows = pages_ds.map_batches(tie_hashes, batch_format="pyarrow")
-        for bt in tied_rows.iter_batches(batch_size=65536,
-                                         batch_format="pandas"):
-            for u, ts, h in bt.itertuples(index=False):
-                max_ts, best = winners[u]
-                if ts == max_ts and (best is None or h < best):
-                    winners[u] = (max_ts, h)
+        best_rows: dict = {}          # url → (md5, row_index, table)
+        for tbl in (pages_ds.map_batches(tie_rows, batch_format="pyarrow")
+                    .iter_batches(batch_size=None, batch_format="pyarrow")):
+            hs = tbl.column("__h__").to_pylist()
+            us = tbl.column("url").to_pylist()
+            for i, (u, h) in enumerate(zip(us, hs)):
+                cur = best_rows.get(u)
+                if cur is None or h < cur[0]:
+                    best_rows[u] = (h, i, tbl)
+        for u, (h, _i, _t) in best_rows.items():
+            winners[u] = (winners[u][0], h)
+        if capture_tied_rows and best_rows:
+            slices = [t.take(pa.array([i], pa.int64())).drop_columns(["__h__"])
+                      for (_h, i, t) in best_rows.values()]
+            tied_tbl = pa.concat_tables(slices)
+    if capture_tied_rows:
+        return winners, tied_tbl
     return winners
 
 
-def filter_dup_losers(pages_ds, winners_ref):
+def filter_dup_losers(pages_ds, winners_ref, drop_tied: bool = False):
     """Stateless dedup filter: drop rows that lose to the broadcast winner
     (``dup_url_winners`` output via ``ray.put``). Urls absent from the map
     are unique — kept without any hashing.
 
-    Residual (documented): BYTE-IDENTICAL rows that also tie on warc_ts are
-    collapsed within a batch but not across blocks — a stateless filter has
-    no cross-block identity for indistinguishable rows. Their extraction
-    results are identical; callers needing strict one-row-per-url semantics
-    for such pathological inputs use the shuffled ``dedup_pages`` path."""
+    ``drop_tied=False`` (standalone use): tied-winner rows are kept, with
+    BYTE-IDENTICAL duplicates collapsed within a batch but not across
+    blocks — a stateless filter has no cross-block identity for
+    indistinguishable rows.
+
+    ``drop_tied=True`` (the KG path): EVERY row of a tied url is dropped;
+    the caller unions back the single captured winner row from
+    ``dup_url_winners(capture_tied_rows=True)``, which makes
+    one-row-per-url exact across blocks (ADVICE round 2)."""
     import ray
 
     def f(batch: pa.Table) -> pa.Table:
@@ -183,6 +207,8 @@ def filter_dup_losers(pages_ds, winners_ref):
             if ts != max_ts:
                 continue
             if best is not None:
+                if drop_tied:           # winner re-enters via side channel
+                    continue
                 from hashlib import md5
 
                 if html_col is None:

@@ -106,8 +106,9 @@ def run_throughput_mode(samples: list[dict], extract_fn, iterations: int = 5,
 
     with ThreadPoolExecutor(max_workers=concurrency) as pool:
         for bi, batch in enumerate(batches):
-            for s in batch[:1] * min(warmup, 1):
-                extract_fn(s["text"], s["labels"], s.get("threshold"))
+            for _ in range(max(warmup, 0)):
+                for s in batch:
+                    extract_fn(s["text"], s["labels"], s.get("threshold"))
             for it in range(iterations):
                 bt = time.perf_counter()
                 results = list(pool.map(one, batch))

@@ -443,8 +443,8 @@ def test_dup_winner_tie_and_identical_rows(ray_session):
          "text": "S"},
     ]
     # single block: the identical-rows collapse is per-batch (documented:
-    # byte-identical rows in DIFFERENT blocks are a residual the strict
-    # dedup_pages path handles; their extraction results are identical)
+    # byte-identical rows in DIFFERENT blocks are handled by the
+    # drop_tied + captured-winner-union path, asserted below)
     ds = rd.from_items(rows).repartition(1).materialize()
     winners = dup_url_winners(ds)
     assert set(winners) == {"u/tie", "u/new", "u/id"}
@@ -457,6 +457,21 @@ def test_dup_winner_tie_and_identical_rows(ray_session):
                key=lambda h: md5(h).hexdigest())
     assert out.loc[out["url"] == "u/tie", "html"].iloc[0] == want
     assert out.loc[out["url"] == "u/new", "text"].iloc[0] == "new"
+
+    # cross-block byte-identical ties: one row per block → the per-batch
+    # collapse can't see them; capture_tied_rows + drop_tied + union must
+    # still yield EXACTLY one row per url (ADVICE round 2)
+    ds2 = rd.from_items(rows).repartition(7).materialize()
+    w2, tied_tbl = dup_url_winners(ds2, capture_tied_rows=True)
+    assert tied_tbl is not None
+    # every url with a content tiebreak has exactly one captured row
+    tied_urls = {u for u, (_ts, b) in w2.items() if b is not None}
+    assert sorted(tied_tbl.column("url").to_pylist()) == sorted(tied_urls)
+    filt = filter_dup_losers(ds2, ray.put(w2), drop_tied=True)
+    out2 = filt.union(rd.from_arrow(tied_tbl)).to_pandas()
+    assert sorted(out2["url"]) == ["u/id", "u/new", "u/solo", "u/tie"]
+    assert out2.loc[out2["url"] == "u/tie", "html"].iloc[0] == want
+    assert out2.loc[out2["url"] == "u/id", "html"].iloc[0] == b"<p>X</p>"
 
 
 def test_warc_source_roundtrip(ray_session, tmp_path):
