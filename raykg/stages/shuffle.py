@@ -36,14 +36,54 @@ def _with_bucket(batch: pd.DataFrame, keys: list[str], num_buckets: int) -> pd.D
     return batch
 
 
+# Inputs at or under this many rows are merged in ONE pandas call on the
+# driver instead of through Ray's sort-based groupby, whose fixed shuffle
+# constants (~1.5-2.5s per execution on this host) dominate small inputs.
+# Driver memory stays bounded by the budget — larger inputs take the
+# bucketized shuffle and never touch the driver. Callers always feed this
+# function PRE-AGGREGATED partials (block combiners upstream), so at 100-TB
+# scale the row count is the distinct-key×block count, not the raw corpus.
+DRIVER_MERGE_BUDGET = 2_000_000
+
+
 def bucketed_group_apply(ds, keys: list[str],
                          fn: Callable[[pd.DataFrame], pd.DataFrame],
-                         num_buckets: int = DEFAULT_BUCKETS):
+                         num_buckets: int = DEFAULT_BUCKETS,
+                         driver_budget_rows: int | None = None):
     """Apply ``fn`` to each hash bucket of whole key-groups.
 
     ``fn`` receives a pandas DataFrame containing EVERY row of EVERY key in
     the bucket (no partial keys) and must itself group by ``keys``. The
-    bucket column is stripped before ``fn`` sees the data."""
+    bucket column is stripped before ``fn`` sees the data.
+
+    ADAPTIVE: the input is materialized (its blocks are shuffle inputs
+    either way); when its row count fits the driver budget the whole merge
+    is one vectorized ``fn`` call on the driver and the result re-enters
+    the Dataset world via ``from_pandas`` — semantically identical (one
+    bucket holding every key) but skipping the sort-shuffle constants that
+    dominate small inputs. Past the budget, the bucketized shuffle runs
+    over the materialized blocks exactly as before. ``driver_budget_rows=0``
+    disables the fast path (used by tests to pin shuffle-path behavior)."""
+    budget = DRIVER_MERGE_BUDGET if driver_budget_rows is None \
+        else driver_budget_rows
+    if budget:
+        mat = ds.materialize()
+        n = mat.count()
+        if 0 < n <= budget:
+            import numpy as np
+            import ray.data as rd
+
+            df = pd.concat(
+                list(mat.iter_batches(batch_size=None,
+                                      batch_format="pandas")),
+                ignore_index=True)
+            out = fn(df)
+            if len(out) == 0:
+                return rd.from_pandas([out])
+            nchunks = max(1, min(8, (len(out) + 65535) // 65536))
+            parts = np.array_split(out, nchunks)
+            return rd.from_pandas([p.reset_index(drop=True) for p in parts])
+        ds = mat
 
     def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=[_BUCKET_COL]))

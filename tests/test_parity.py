@@ -154,7 +154,7 @@ def test_jsonl_source_roundtrip(ray_session, tmp_path):
 
     p = write_benchmark_jsonl(str(tmp_path / "bench.jsonl"), n=10)
     ds = read_benchmark_jsonl(p)
-    rows = ds.to_pandas()
+    rows = ds.to_pandas().sort_values("id").reset_index(drop=True)
     assert len(rows) == 10
     assert rows["id"].iloc[0] == "benchmark_000"
     assert list(rows["labels"].iloc[0]) == \
