@@ -238,10 +238,13 @@ def oracle_sql() -> dict[str, str]:
         "quality": textstats.SQL_QUALITY,
         "content_hash": textstats.SQL_CONTENT_HASH,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
+        "dedup_minhash": dedup.SQL_DEDUP_MINHASH,
+        "dedup_simhash": dedup.SQL_DEDUP_SIMHASH,
         "ngram_jaccard": dedup.SQL_NGRAM_JACCARD,
         "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
         "knn": similarity.SQL_KNN,
         "langid": textstats.SQL_LANGID,
+        "fingerprint": textstats.SQL_FINGERPRINT,
         "fingerprint_kgram": textstats.SQL_FINGERPRINT_KGRAM,
         "token_df": textstats.SQL_TOKEN_DF,
         "split": textstats.SQL_SPLIT,
@@ -250,8 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "len_quantiles": textstats.SQL_LEN_QUANTILES,
         "media_meta": multimodal.SQL_MEDIA_META,
         # omitted on purpose (non-SQL-expressible): kg_* + legacy_mentions
-        # (model-scored extraction), fingerprint (winnowing needs modular
-        # rolling-hash state SQL lacks; the k-gram variant above covers the
-        # fingerprint math), dedup_minhash / dedup_simhash (sketches),
-        # knn_ivf (approximate) — covered by pytest parity/recall gates.
+        # (model-scored extraction), knn_ivf (approximate), frame_sample
+        # (binary container parsing) — covered by pytest parity/recall
+        # gates.
     }

@@ -20,6 +20,7 @@ Scale shapes (ray_guide "Aggregation at scale"):
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import numpy as np
@@ -48,7 +49,10 @@ def _shingles(text: str, n: int = 3) -> set[str]:
 
 
 def _hash64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+    """64-bit string hash = first 8 bytes of md5, big-endian. md5 (not
+    blake2b) so the SQL oracles can reproduce every sketch bit:
+    DuckDB's ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` is bit-identical."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
 
 
 def _perm_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -228,7 +232,10 @@ def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42):
 
     def jaccard_score(pa_payload, pb_payload) -> float | None:
         j = jaccard(set(pa_payload), set(pb_payload))
-        return round(j, 6) if j >= jaccard_threshold else None
+        # floor(x*1e6+0.5)/1e6 rather than round(): identical IEEE-double
+        # steps in DuckDB, so the oracle hash matches bit-for-bit
+        return math.floor(j * 1e6 + 0.5) / 1e6 if j >= jaccard_threshold \
+            else None
 
     return _verified_pair_join(candidates, docs_ds, "doc_id",
                                shingle_payload, pa.list_(pa.int64()),
@@ -240,6 +247,93 @@ def q_dedup_minhash(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     return minhash_pairs(docs)
+
+
+def _sql_md5_64(expr: str) -> str:
+    """DuckDB expression reproducing ``_hash64`` bit-for-bit."""
+    return f"('0x' || substr(md5({expr}), 1, 16))::UBIGINT"
+
+
+def _sql_perm_values() -> str:
+    a, b = _perm_params(MINHASH_K, 42)
+    return ", ".join(f"({k}, {int(a[k])}::UHUGEINT, {int(b[k])}::UHUGEINT)"
+                     for k in range(MINHASH_K))
+
+
+# Full MinHash+LSH in SQL: the 64 permutation params (seed 42) are inlined;
+# UHUGEINT keeps a*h+b exact before the mod-2^64 wrap that numpy gets from
+# uint64 overflow. Every stage — shingling, signature, band hashing, bucket
+# pairing with the 500-doc skew guard, exact-Jaccard verification over
+# 63-bit-masked shingle hashes — mirrors minhash_pairs() exactly.
+SQL_DEDUP_MINHASH = f"""
+WITH perms AS (
+  SELECT * FROM (VALUES {_sql_perm_values()}) AS t(k, a, b)
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tl
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tl, i, i + 2), ' ') AS s
+  FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl) - 2)) AS i
+        FROM toks WHERE len(tl) >= 3)
+  UNION
+  SELECT doc_id, array_to_string(tl, ' ') AS s
+  FROM toks WHERE len(tl) BETWEEN 1 AND 2
+),
+shh AS (
+  SELECT DISTINCT doc_id, {_sql_md5_64('s')} AS h FROM sh
+),
+sig AS (
+  SELECT doc_id, p.k,
+         min((p.a * h::UHUGEINT + p.b) % 18446744073709551616::UHUGEINT)
+           ::UBIGINT AS sigv
+  FROM shh CROSS JOIN perms p GROUP BY doc_id, p.k
+),
+bands AS (
+  SELECT doc_id, k // 4 AS band,
+         string_agg(sigv::VARCHAR, ',' ORDER BY k) AS segstr
+  FROM sig GROUP BY doc_id, k // 4
+),
+bandrows AS (
+  SELECT doc_id, band,
+         ({_sql_md5_64('segstr')} & 9223372036854775807)::BIGINT AS bandhash
+  FROM bands
+),
+bsize AS (
+  SELECT band, bandhash, count(DISTINCT doc_id) AS n
+  FROM bandrows GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandrows x
+  JOIN bandrows y USING (band, bandhash)
+  JOIN bsize s USING (band, bandhash)
+  WHERE x.doc_id < y.doc_id AND s.n BETWEEN 2 AND 500
+),
+doc_sh AS (
+  SELECT DISTINCT doc_id, (h & 9223372036854775807)::BIGINT AS h63 FROM shh
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS ninter
+  FROM cand c
+  JOIN doc_sh da ON da.doc_id = c.a
+  JOIN doc_sh db ON db.doc_id = c.b AND db.h63 = da.h63
+  GROUP BY c.a, c.b
+),
+scored AS (
+  SELECT c.a, c.b,
+         coalesce(i.ninter, 0)::DOUBLE
+           / (sa.n + sb.n - coalesce(i.ninter, 0)) AS j
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON sa.doc_id = c.a
+  JOIN sizes sb ON sb.doc_id = c.b
+)
+SELECT a, b, floor(j * 1000000 + 0.5) / 1000000 AS jaccard
+FROM scored WHERE j >= 0.5 ORDER BY a, b
+"""
 
 
 # -- SimHash near-dup -------------------------------------------------------
@@ -318,6 +412,54 @@ def q_dedup_simhash(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(docs)
+
+
+# SimHash + chunk-LSH in SQL, mirroring simhash_pairs(): per-token md5-64
+# bit columns weighted by term count, sign → 64-bit signature, 16-bit chunk
+# buckets (full signature, bit 63 included) with the 500-doc skew guard,
+# exact hamming over the low-63-bit signatures.
+SQL_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+tokh AS (
+  SELECT doc_id, {_sql_md5_64('tok')} AS h, cnt FROM toks
+),
+bitsum AS (
+  SELECT doc_id, p.p,
+         sum(CASE WHEN (h >> p.p) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p) p
+  GROUP BY doc_id, p.p
+),
+sigs AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN ((1::UBIGINT << p))::HUGEINT
+                  ELSE 0 END)::UBIGINT AS sig
+  FROM bitsum GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id,
+         (sig & 9223372036854775807::UBIGINT)::BIGINT AS sig63,
+         c.c AS chunk,
+         ((sig >> (16 * c.c)) & 65535)::INT AS val
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c
+),
+bsize AS (
+  SELECT chunk, val, count(DISTINCT doc_id) AS n FROM chunks GROUP BY 1, 2
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.sig63, y.sig63))::BIGINT AS hamming
+FROM chunks x
+JOIN chunks y USING (chunk, val)
+JOIN bsize s USING (chunk, val)
+WHERE x.doc_id < y.doc_id AND s.n BETWEEN 2 AND 500
+  AND bit_count(xor(x.sig63, y.sig63)) <= 3
+ORDER BY a, b
+"""
 
 
 # -- n-gram Jaccard over adjacent-doc pairs (SQL-checkable) -----------------

@@ -336,8 +336,15 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 def q_fingerprint(sf_dir: str):
-    """Per-doc winnowing fingerprint summary: count + min + a stable 64-bit
-    digest of the fingerprint set (deterministic; rows-only driver check)."""
+    """Per-doc winnowing fingerprint summary: count + min + an md5 digest of
+    the sorted distinct fingerprint set. All three are reproduced by
+    ``SQL_FINGERPRINT`` (full winnowing in SQL: the polynomial rolling hash
+    expands to an 8-term weighted sum per k-gram, the rightmost-min window
+    rule becomes MIN over ``(hash, -index)`` encoded into one HUGEINT, and
+    consecutive-pick dedup is a LAG comparison), so the operator is under
+    the value-hash oracle, not just a row-count check. Precondition shared
+    with the SQL: docs of length ≥ K+WINDOW-1 = 23 chars (the corpus
+    minimum is 44) — shorter docs keep the Python fallback paths."""
     import ray.data as rd
 
     def fp(b: pa.Table) -> pa.Table:
@@ -347,19 +354,72 @@ def q_fingerprint(sf_dir: str):
             fps = winnow_fingerprints(t)
             counts.append(len(fps))
             mins.append(min(fps) if fps else 0)
-            digests.append(int.from_bytes(
-                hashlib.blake2b(",".join(map(str, sorted(set(fps))))
-                                .encode(), digest_size=8).digest(), "big")
-                >> 1)
+            digests.append(hashlib.md5(
+                ",".join(map(str, sorted(set(fps)))).encode()).hexdigest())
         return pa.table({
             "doc_id": ids,
             "n_fingerprints": pa.array(counts, pa.int64()),
             "min_fingerprint": pa.array(mins, pa.int64()),
-            "fp_digest": pa.array(digests, pa.int64()),
+            "fp_digest": pa.array(digests, pa.string()),
         })
 
     return read_table(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(fp, batch_format="pyarrow", batch_size=4096).sort("doc_id")
+
+
+# Full winnowing in ANSI SQL (DuckDB): weights w_j = BASE^(K-1-j) mod MOD are
+# inlined; HUGEINT keeps the 8-term weighted sum (< 2^71) and the
+# (hash << 20 | WINDOW-rank) encoding exact. ``me % 2^20`` recovers the
+# picked gram's (n_grams - i), so comparing it to its LAG is exactly the
+# reference algorithm's "same deque-front index as the previous window" test.
+SQL_FINGERPRINT = """
+WITH g AS (
+  SELECT doc_id, lower(text) AS t, length(text) - 7 AS ng FROM documents
+  WHERE length(text) >= 23
+),
+grams AS (
+  SELECT doc_id, ng, i,
+         (  1501076012712181523::HUGEINT * ascii(substr(t, i    , 1))
+          + 2133831443680070909::HUGEINT * ascii(substr(t, i + 1, 1))
+          +  618155284961614297::HUGEINT * ascii(substr(t, i + 2, 1))
+          +  168760150033166695::HUGEINT * ascii(substr(t, i + 3, 1))
+          + 1000009000027000027::HUGEINT * ascii(substr(t, i + 4, 1))
+          +       1000006000009::HUGEINT * ascii(substr(t, i + 5, 1))
+          +             1000003::HUGEINT * ascii(substr(t, i + 6, 1))
+          +                        ascii(substr(t, i + 7, 1))
+         ) % 2305843009213693951 AS h
+  FROM (SELECT doc_id, t, ng, unnest(generate_series(1, ng)) AS i FROM g)
+),
+wins AS (
+  SELECT doc_id, i,
+         MIN(h * 1048576::HUGEINT + (ng - i)) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS me
+  FROM grams
+  QUALIFY i >= 16
+),
+picks AS (
+  SELECT doc_id, i, (me // 1048576)::BIGINT AS fp, (me % 1048576)::BIGINT AS ridx
+  FROM wins
+),
+emitted AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, ridx,
+           LAG(ridx) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM picks)
+  WHERE prev IS NULL OR ridx <> prev
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fingerprint
+  FROM emitted GROUP BY doc_id
+),
+digests AS (
+  SELECT doc_id, md5(string_agg(fp::VARCHAR, ',' ORDER BY fp)) AS fp_digest
+  FROM (SELECT DISTINCT doc_id, fp FROM emitted) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_fingerprints, p.min_fingerprint, d.fp_digest
+FROM per_doc p JOIN digests d USING (doc_id) ORDER BY doc_id
+"""
 
 
 # -- corpus-level token document frequency (stopword / vocabulary mining) ---
