@@ -665,3 +665,125 @@ def test_real_vocab_special_ids(tmp_path):
     # classification kind marker absent from THIS vocab → raises
     with _pytest.raises(ValueError, match="'c'"):
         encode_schema("a", ["a"], tok, max_span_width=2, kinds=["C"])
+
+
+def test_onnx_backend_mocked_session_dataflow(tmp_path):
+    """Full OnnxBackend dataflow under fake ONNX sessions (the
+    ``session_factory`` hook exists for exactly this): every feed shape the
+    exported heads were traced with is asserted inside the fakes, and the
+    span-score / classify outputs are recomputed independently from the
+    fakes' arithmetic — so the gather/trim/reshape plumbing
+    (onnx_backend.py:90-200) is covered even though the sandbox ships no
+    onnxruntime."""
+    import json
+
+    import numpy as np
+
+    from raykg.core.onnx_backend import OnnxBackend
+
+    H, W, MAXC = 8, 2, 3
+
+    tdir = tmp_path / "tok"
+    tdir.mkdir()
+    vocab = [["[UNK]", -10.0], ["[PAD]", 0.0], ["[CLS]", 0.0], ["[SEP]", 0.0],
+             ["▁", -2.0], ["▁he", -3.0], ["▁hel", -2.5], ["lo", -1.0],
+             ["l", -4.0], ["o", -4.0], ["h", -5.0], ["e", -5.0],
+             ["▁lo", -3.5], ["w", -6.0], ["(", -1.0], [")", -1.0]]
+    (tdir / "tokenizer.json").write_text(json.dumps(
+        {"model": {"type": "Unigram", "unk_id": 0, "vocab": vocab}}))
+    (tdir / "added_tokens.json").write_text(json.dumps(
+        {"[P]": 203, "[E]": 205, "[C]": 206, "[SEP_TEXT]": 202}))
+
+    mp = tmp_path / "manifest.json"
+    mp.write_text(json.dumps({
+        "model_id": "fake", "max_seq_len": 128, "max_schema_tokens": 32,
+        "max_width": W, "hidden_size": H, "max_count": MAXC,
+        "tokenizer_dir": "tok",
+        "artifacts": {k: f"{k}.onnx" for k in
+                      ("encoder", "span_rep", "classifier",
+                       "count_predictor", "count_embed")}}))
+
+    def fake_hidden(ids: np.ndarray) -> np.ndarray:
+        h = np.arange(1, H + 1)
+        return (((ids[:, None] * h[None, :]) % 17).astype(np.float32) / 17.0)
+
+    class FakeSession:
+        def __init__(self, name):
+            self.name = name
+
+        def run(self, _outputs, feeds):
+            if self.name == "encoder":
+                ids = np.asarray(feeds["input_ids"])
+                assert ids.ndim == 2 and ids.dtype == np.int64
+                assert np.asarray(feeds["attention_mask"]).shape == ids.shape
+                return (fake_hidden(ids[0])[None],)
+            if self.name == "count_predictor":
+                pe = np.asarray(feeds["prompt_embeddings"])
+                assert pe.shape == (1, H)          # [P] embedding only
+                lg = np.zeros(MAXC + 1, np.float32)
+                lg[2] = 1.0                         # → predictedCount = 2
+                return (lg[None],)
+            if self.name == "count_embed":
+                le = np.asarray(feeds["label_embeddings"])
+                assert le.ndim == 2 and le.shape[1] == H
+                return (np.stack([le * (i + 1) for i in range(MAXC)]),)
+            if self.name == "span_rep":
+                te = np.asarray(feeds["token_embeddings"])
+                si = np.asarray(feeds["span_idx"])
+                assert te.ndim == 3 and te.shape[2] == H
+                s = te.shape[1]
+                # the traced full (S, W) grid with ends clamped to S-1
+                assert si.shape == (1, s * W, 2)
+                starts, ends = si[0, :, 0], si[0, :, 1]
+                assert (starts <= ends).all() and (ends <= s - 1).all()
+                return ((te[0][starts] + 0.5 * te[0][ends])[None],)
+            if self.name == "classifier":
+                se = np.asarray(feeds["schema_embeddings"])
+                assert se.ndim == 3 and se.shape[2] == H
+                return (se[0].sum(axis=1)[None],)
+            raise AssertionError(self.name)
+
+    made = {}
+
+    def factory(path):
+        import os
+        name = os.path.basename(path).removesuffix(".onnx")
+        made[name] = FakeSession(name)
+        return made[name]
+
+    b = OnnxBackend(str(mp), session_factory=factory)
+    assert set(made) == {"encoder", "span_rep", "classifier",
+                         "count_predictor", "count_embed"}
+
+    from raykg.core.tokenizer import encode_schema
+
+    scores, enc = b.span_scores(
+        encode_schema("hello lo hello", ["hello"], b.tokenizer, W))
+    n_spans, n_labels = len(enc.span_starts), 1
+    assert scores.shape == (n_spans, n_labels)
+
+    # independent replay of the fakes' arithmetic
+    hidden = fake_hidden(enc.input_ids.astype(np.int64))
+    word_embs = hidden[enc.word_first_subword]
+    prompts = np.stack([hidden[a:b2].mean(axis=0)
+                        for a, b2 in enc.prompt_ranges])
+    labels = prompts * 1                         # structure[:2][0]
+    s = len(enc.words)
+    gs = np.repeat(np.arange(s), W)
+    ge = np.minimum(gs + np.tile(np.arange(W), s), s - 1)
+    grid = (word_embs[gs] + 0.5 * word_embs[ge]).reshape(s, W, H)
+    expect = grid[enc.span_starts, enc.span_widths] @ labels.T
+    np.testing.assert_allclose(scores, expect, rtol=1e-6)
+
+    # forward(): word/prompt embedding extraction
+    we, pe = b.forward(enc)
+    np.testing.assert_allclose(we, word_embs, rtol=1e-6)
+    np.testing.assert_allclose(pe, prompts, rtol=1e-6)
+
+    # classify(): softmax path and multi-label sigmoid path
+    single = b.classify("hello lo", ["hello", "lo"], threshold=0.0)
+    assert len(single) == 2 and abs(sum(sc for _, sc in single) - 1.0) < 1e-6
+    assert single[0][1] >= single[1][1]
+    multi = b.classify("hello lo", ["hello", "lo"], multi_label=True,
+                       threshold=0.0)
+    assert all(0.0 <= sc <= 1.0 for _, sc in multi)
