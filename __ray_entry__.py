@@ -252,8 +252,8 @@ def oracle_sql() -> dict[str, str]:
         "sample": textstats.SQL_SAMPLE,
         "len_quantiles": textstats.SQL_LEN_QUANTILES,
         "media_meta": multimodal.SQL_MEDIA_META,
+        "frame_sample": multimodal.SQL_FRAME_SAMPLE,
         # omitted on purpose (non-SQL-expressible): kg_* + legacy_mentions
-        # (model-scored extraction), knn_ivf (approximate), frame_sample
-        # (binary container parsing) — covered by pytest parity/recall
-        # gates.
+        # (model-scored extraction), knn_ivf (approximate) — covered by
+        # pytest parity/recall gates.
     }

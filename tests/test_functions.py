@@ -345,7 +345,7 @@ def test_frame_sampler(ray_session):
     import pyarrow as pa
     import ray.data as rd
 
-    from hashlib import blake2b
+    from hashlib import md5
 
     from raykg.functions.multimodal import (MAGIC_VID, FrameSampler,
                                             q_frame_sample,
@@ -362,8 +362,7 @@ def test_frame_sampler(ray_session):
     assert set(out.column("media_id").to_pylist()) == {11}   # junk skipped
     for i, k in enumerate(idxs):
         frame = p[12 + k * fb: 12 + (k + 1) * fb]
-        expect = int.from_bytes(blake2b(frame, digest_size=8).digest(),
-                                "big") >> 1
+        expect = md5(frame.hex().encode()).hexdigest()
         assert out.column("frame_digest")[i].as_py() == expect
 
     got = q_frame_sample(SF).to_pandas()
