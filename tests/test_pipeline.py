@@ -677,3 +677,47 @@ def test_alias_map_dataset_path_byte_identical(ray_session):
     ds_out = alias_components_auto(pairs, driver_budget=0, map_budget=0)
     got = {int(r["node"]): int(r["root"]) for r in ds_out.take_all()}
     assert got == amap
+
+
+def test_bucketed_group_apply_adaptive_equals_shuffle(ray_session):
+    """The adaptive driver-merge fast path of ``bucketed_group_apply``
+    (input under the row budget → one driver-side fn call) must be
+    result-identical to the bucketized shuffle path (``driver_budget_rows=0``
+    pins it) — including groups that span blocks and empty-result fns."""
+    import numpy as np
+    import ray.data as rd
+
+    from raykg.stages.shuffle import bucketed_group_apply
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, size=4000),
+        "v": rng.integers(0, 1000, size=4000),
+    })
+    # many small blocks so most groups span blocks
+    ds = rd.from_pandas(np.array_split(df, 16))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), mx=("v", "max"))
+
+    fast = bucketed_group_apply(ds, ["k"], agg).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    slow = bucketed_group_apply(ds, ["k"], agg, driver_budget_rows=0) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    assert len(fast) == df["k"].nunique()
+
+    # empty-result fn: both paths yield an empty, schema-stable Dataset
+    def none(g: pd.DataFrame) -> pd.DataFrame:
+        return g[g["v"] < -1][["k", "v"]]
+
+    assert bucketed_group_apply(ds, ["k"], none).count() == 0
+    assert bucketed_group_apply(ds, ["k"], none,
+                                driver_budget_rows=0).count() == 0
+
+    # over-budget input falls back to the shuffle path and still agrees
+    over = bucketed_group_apply(ds, ["k"], agg,
+                                driver_budget_rows=100).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(over, slow, check_dtype=False)
