@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly": relational.q_orders_monthly,
         "top_parts": relational.q_top_parts,
         "customers_without_orders": relational.q_customers_without_orders,
+        "asof_prev_view": relational.q_asof_prev_view,
         # stream-shaped windows
         "events_hourly": windows.q_events_hourly,
         "events_sliding": windows.q_events_sliding,
@@ -230,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_monthly": relational.SQL_ORDERS_MONTHLY,
         "top_parts": relational.SQL_TOP_PARTS,
         "customers_without_orders": relational.SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "asof_prev_view": relational.SQL_ASOF_PREV_VIEW,
         "events_hourly": windows.SQL_EVENTS_HOURLY,
         "events_sliding": windows.SQL_EVENTS_SLIDING,
         "sessions": windows.SQL_SESSIONS,

@@ -214,3 +214,75 @@ FROM (
 ORDER BY rev_e4 DESC, l_partkey
 LIMIT 10
 """
+
+
+def q_asof_prev_view(sf_dir: str):
+    """Distributed AS-OF join (events self-join): for every 'click' event,
+    the SAME user's latest 'view' event at or before the click's timestamp
+    (inner semantics — clicks with no preceding view drop out).
+
+    Scale shape: column-pruned read + row-pruned to the two event types →
+    bucketize by the join key's hash (whole key-groups co-locate, nothing
+    corpus-wide on the driver; skewed users are bounded by the per-user
+    event count, the same assumption any keyed as-of makes) → per-user
+    vectorized merge: both sides sorted by ts once, one ``np.searchsorted``
+    per user resolves every click in O(log n). At 100 TB this is ONE
+    hash-shuffle of the pruned columns — the standard distributed as-of.
+
+    Precondition shared with DuckDB's ASOF JOIN: (user_id, ts) is unique on
+    the right side (ties would make "the" latest row ambiguous); the events
+    generator's microsecond timestamps satisfy it at every SF.
+    """
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    ev = read_table(sf_dir, "events",
+                    ["event_id", "ts", "user_id", "event_type"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("event_type"),
+                                 value_set=pa.array(["click", "view"])))
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in df.groupby("user_id", sort=True):
+            clicks = g[g["event_type"] == "click"].sort_values("ts")
+            views = g[g["event_type"] == "view"].sort_values("ts")
+            if clicks.empty or views.empty:
+                continue
+            idx = np.searchsorted(views["ts"].to_numpy(),
+                                  clicks["ts"].to_numpy(),
+                                  side="right") - 1
+            m = idx >= 0
+            if not m.any():
+                continue
+            out.append(pd.DataFrame({
+                "event_id": clicks["event_id"].to_numpy()[m],
+                "user_id": np.int64(uid),
+                "ts": clicks["ts"].to_numpy()[m],
+                "prev_view_id": views["event_id"].to_numpy()[idx[m]],
+                "prev_view_ts": views["ts"].to_numpy()[idx[m]],
+            }))
+        if not out:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "prev_view_id": pd.Series(dtype="int64"),
+                "prev_view_ts": pd.Series(dtype="datetime64[us]"),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    pruned = ev.map_batches(prune, batch_format="pyarrow", batch_size=65536)
+    return bucketed_group_apply(pruned, ["user_id"], asof).sort("event_id")
+
+
+SQL_ASOF_PREV_VIEW = """
+SELECT c.event_id, c.user_id, c.ts,
+       v.event_id AS prev_view_id, v.ts AS prev_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.event_id
+"""
