@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": relational.q_top_parts,
         "customers_without_orders": relational.q_customers_without_orders,
         "asof_prev_view": relational.q_asof_prev_view,
+        "top_orders_per_segment": relational.q_top_orders_per_segment,
         # stream-shaped windows
         "events_hourly": windows.q_events_hourly,
         "events_sliding": windows.q_events_sliding,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "top_parts": relational.SQL_TOP_PARTS,
         "customers_without_orders": relational.SQL_CUSTOMERS_WITHOUT_ORDERS,
         "asof_prev_view": relational.SQL_ASOF_PREV_VIEW,
+        "top_orders_per_segment": relational.SQL_TOP_ORDERS_PER_SEGMENT,
         "events_hourly": windows.SQL_EVENTS_HOURLY,
         "events_sliding": windows.SQL_EVENTS_SLIDING,
         "sessions": windows.SQL_SESSIONS,

@@ -286,3 +286,69 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 ORDER BY c.event_id
 """
+
+
+def q_top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Per-GROUP top-k — the grouped-rank pattern the global ``q_top_parts``
+    doesn't cover: top-k orders by price within each customer market
+    segment.
+
+    Scale shape: the customer dimension is broadcast once (``ray.put``) as a
+    custkey→segment array lookup; each fact batch maps to (segment, price,
+    key) and keeps ONLY its local top-k per segment (a combiner — at most
+    k × n_segments rows leave any batch); a single small merge takes the
+    global top-k per segment. No shuffle ever touches the fact table.
+
+    Ties on price are broken by ascending o_orderkey in both engines, so
+    the ranking is total and the oracle hash is stable.
+    """
+    import ray
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .to_pandas()
+    seg_of = dict(zip(cust["c_custkey"].to_numpy(),
+                      cust["c_mktsegment"].to_numpy()))
+    seg_ref = ray.put(seg_of)
+
+    def local_topk(b: pa.Table) -> pd.DataFrame:
+        m = ray.get(seg_ref)
+        df = pd.DataFrame({
+            "o_orderkey": b.column("o_orderkey").to_pandas(),
+            "price_e2": np.round(b.column("o_totalprice").to_numpy()
+                                 * 100).astype(np.int64),
+            "c_mktsegment": [m.get(c) for c in
+                             b.column("o_custkey").to_pylist()],
+        })
+        df = df.dropna(subset=["c_mktsegment"])
+        return df.sort_values(["price_e2", "o_orderkey"],
+                              ascending=[False, True]) \
+            .groupby("c_mktsegment", as_index=False).head(k)
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["price_e2", "o_orderkey"],
+                            ascending=[False, True]) \
+            .groupby("c_mktsegment", as_index=False).head(k)
+        df["rank"] = df.groupby("c_mktsegment").cumcount() + 1
+        return df[["c_mktsegment", "rank", "o_orderkey", "price_e2"]]
+
+    partials = read_table(sf_dir, "orders",
+                          ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=65536)
+    return bucketed_group_apply(partials, ["c_mktsegment"], merge_topk) \
+        .sort(["c_mktsegment", "rank"])
+
+
+SQL_TOP_ORDERS_PER_SEGMENT = """
+SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey, price_e2
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_e2,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY ROUND(o.o_totalprice * 100) DESC,
+                                     o.o_orderkey) AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+WHERE rank <= 3
+ORDER BY c_mktsegment, rank
+"""
