@@ -182,7 +182,7 @@ def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42):
     shingle-hash lists are co-located by doc_id, then regrouped by pair —
     no whole-corpus broadcast (the only driver-side object is the candidate
     pair-membership map, which is small by construction; Jaccard over 64-bit
-    shingle hashes equals Jaccard over shingles up to blake2b-64 collisions)."""
+    shingle hashes equals Jaccard over shingles up to md5-64 collisions)."""
     a, b = _perm_params(MINHASH_K, seed)
     rows_per_band = MINHASH_K // MINHASH_BANDS
 
@@ -226,7 +226,7 @@ def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42):
 
     def shingle_payload(batch: pa.Table, i: int) -> list[int]:
         # int64-safe low 63 bits (the mask is injective on the drawn hashes
-        # up to the same blake2b collision bound)
+        # up to the same md5-64 collision bound)
         return [_hash64(s) & 0x7FFFFFFFFFFFFFFF
                 for s in _shingles(batch.column("text")[i].as_py())]
 
@@ -367,6 +367,10 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
         out_chunk, out_val, out_doc, out_sig = [], [], [], []
         for did, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
+            if not _TOK_RE.search(text.lower()):
+                continue      # token-less doc: no sketch (mirrors the
+                              # minhash shingle-less skip AND the SQL
+                              # oracle, whose toks CTE emits no rows)
             sig = simhash64(text)
             for c in range(_SIMHASH_BANDS):
                 out_chunk.append(c)

@@ -342,9 +342,14 @@ def q_fingerprint(sf_dir: str):
     expands to an 8-term weighted sum per k-gram, the rightmost-min window
     rule becomes MIN over ``(hash, -index)`` encoded into one HUGEINT, and
     consecutive-pick dedup is a LAG comparison), so the operator is under
-    the value-hash oracle, not just a row-count check. Precondition shared
-    with the SQL: docs of length ≥ K+WINDOW-1 = 23 chars (the corpus
-    minimum is 44) — shorter docs keep the Python fallback paths."""
+    the value-hash oracle, not just a row-count check. Preconditions shared
+    with the SQL (all verified on the corpus, which the SQL also guards
+    where it can): docs of length ≥ K+WINDOW-1 = 23 chars (corpus minimum
+    44; shorter docs keep the Python fallback paths), ASCII text (Python
+    hashes UTF-8 BYTES while SQL hashes codepoints — identical only for
+    ASCII; the corpus is pure ASCII at every SF), and < 2^30 grams per doc
+    (the SQL's rightmost-min encoding reserves 30 bits for the window
+    rank)."""
     import ray.data as rd
 
     def fp(b: pa.Table) -> pa.Table:
@@ -369,7 +374,7 @@ def q_fingerprint(sf_dir: str):
 
 # Full winnowing in ANSI SQL (DuckDB): weights w_j = BASE^(K-1-j) mod MOD are
 # inlined; HUGEINT keeps the 8-term weighted sum (< 2^71) and the
-# (hash << 20 | WINDOW-rank) encoding exact. ``me % 2^20`` recovers the
+# (hash << 30 | WINDOW-rank) encoding exact. ``me % 2^30`` recovers the
 # picked gram's (n_grams - i), so comparing it to its LAG is exactly the
 # reference algorithm's "same deque-front index as the previous window" test.
 SQL_FINGERPRINT = """
@@ -392,14 +397,14 @@ grams AS (
 ),
 wins AS (
   SELECT doc_id, i,
-         MIN(h * 1048576::HUGEINT + (ng - i)) OVER (
+         MIN(h * 1073741824::HUGEINT + (ng - i)) OVER (
            PARTITION BY doc_id ORDER BY i
            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS me
   FROM grams
   QUALIFY i >= 16
 ),
 picks AS (
-  SELECT doc_id, i, (me // 1048576)::BIGINT AS fp, (me % 1048576)::BIGINT AS ridx
+  SELECT doc_id, i, (me // 1073741824)::BIGINT AS fp, (me % 1073741824)::BIGINT AS ridx
   FROM wins
 ),
 emitted AS (
