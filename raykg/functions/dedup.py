@@ -99,8 +99,14 @@ def _verified_pair_join(candidates, items_ds, id_col: str, payload_of,
     from ..stages.shuffle import bucketed_group_apply
 
     members: dict = {}
+    seen: set = set()
     for bt in candidates.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for x, y in zip(bt.column("a").to_pylist(), bt.column("b").to_pylist()):
+            if (x, y) in seen:      # candidates may repeat (e.g. a pair
+                continue            # surfacing from several LSH bands) —
+            seen.add((x, y))        # dedup here, where they are already
+                                    # materialized, instead of paying a
+                                    # dedicated shuffle pass for it
             members.setdefault(x, []).append((x, y, 0))
             members.setdefault(y, []).append((x, y, 1))
     members_ref = ray.put(members)
@@ -217,12 +223,13 @@ def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42):
 
     from ..stages.shuffle import bucketed_group_apply
 
+    # pair dedup (a pair can surface from several bands) happens inside
+    # _verified_pair_join's membership build, which materializes the
+    # candidates anyway — a dedicated distributed dedup pass here was one
+    # whole extra shuffle execution for work the driver does for free
     candidates = bucketed_group_apply(
         docs_ds.map_batches(bands, batch_format="pyarrow", batch_size=4096),
-        ["band", "bandhash"], bucket_pairs)
-    candidates = bucketed_group_apply(
-        candidates, ["a", "b"],
-        lambda df: df.drop_duplicates(["a", "b"])).materialize()
+        ["band", "bandhash"], bucket_pairs).materialize()
 
     def shingle_payload(batch: pa.Table, i: int) -> list[int]:
         # int64-safe low 63 bits (the mask is injective on the drawn hashes
@@ -680,12 +687,11 @@ def embedding_pairs_lsh(emb_ds, threshold: float = 0.9, seed: int = 42,
 
     from ..stages.shuffle import bucketed_group_apply
 
+    # pair dedup rides on _verified_pair_join's membership build (see
+    # minhash_pairs) — no dedicated shuffle pass
     candidates = bucketed_group_apply(
         emb_ds.map_batches(bands, batch_format="pyarrow", batch_size=4096),
-        ["band", "val"], bucket_pairs)
-    candidates = bucketed_group_apply(
-        candidates, ["a", "b"],
-        lambda df: df.drop_duplicates(["a", "b"])).materialize()
+        ["band", "val"], bucket_pairs).materialize()
 
     def emb_payload(batch: pa.Table, i: int) -> list[float]:
         return batch.column("embedding")[i].as_py()

@@ -371,3 +371,51 @@ def test_frame_sampler(ray_session):
     # deterministic across runs
     got2 = q_frame_sample(SF).to_pandas()
     assert got.equals(got2)
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    """Distributed as-of join vs pandas.merge_asof ground truth on random
+    interleavings — covers empty users, click-before-any-view, view-only
+    users, and burst patterns that the real events table may not hit."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raykg.functions.relational import q_asof_prev_view
+    from raykg.stages.shuffle import bucketed_group_apply
+
+    rng = np.random.default_rng(123)
+    n = 2000
+    base = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": base + pd.to_timedelta(
+            np.sort(rng.integers(0, 10**9, size=n)), unit="us"),
+        "user_id": rng.integers(0, 37, size=n).astype(np.int64),
+        "event_type": rng.choice(
+            ["click", "view", "error", "purchase"], size=n,
+            p=[0.3, 0.3, 0.2, 0.2]),
+    })
+    # make (user, ts) unique on the view side (the documented precondition)
+    ev = ev.drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.to_parquet(f"{d}/events.parquet")
+        got = q_asof_prev_view(d).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+
+    clicks = ev[ev.event_type == "click"].sort_values("ts")
+    views = ev[ev.event_type == "view"].sort_values("ts") \
+        .rename(columns={"event_id": "prev_view_id", "ts": "prev_view_ts"})
+    want = pd.merge_asof(clicks, views[["prev_view_id", "prev_view_ts",
+                                        "user_id"]],
+                         left_on="ts", right_on="prev_view_ts",
+                         by="user_id", direction="backward") \
+        .dropna(subset=["prev_view_id"])
+    want = want[["event_id", "user_id", "ts", "prev_view_id",
+                 "prev_view_ts"]].sort_values("event_id") \
+        .reset_index(drop=True)
+    want["prev_view_id"] = want["prev_view_id"].astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
