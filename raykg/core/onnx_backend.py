@@ -95,10 +95,7 @@ class OnnxBackend:
         (GLiNER2SchemaProjector.swift:44-95)."""
         hidden = self._encode(enc)
         word_embs = hidden[enc.word_first_subword]
-        prompts = np.stack([
-            hidden[a:b].mean(axis=0) if b > a
-            else np.zeros(self.manifest.hidden_size, dtype=hidden.dtype)
-            for a, b in enc.prompt_ranges]) if enc.prompt_ranges else \
+        prompts = self._prompt_embs(hidden, enc) if enc.prompt_ranges else \
             np.empty((0, self.manifest.hidden_size))
         return word_embs, prompts
 
@@ -115,12 +112,27 @@ class OnnxBackend:
         the [P] marker at position 1 ([CLS] [P] entities ( …)."""
         return hidden[1]
 
+    def _prompt_embs(self, hidden: np.ndarray, enc: SchemaEncoding) -> np.ndarray:
+        """Mean over each label's subword range, with the same empty-range
+        zeros fallback as ``forward`` — a label whose pieces vanish must
+        yield zeros, not a NaN row that silently poisons every score."""
+        return np.stack([
+            hidden[a:b].mean(axis=0) if b > a
+            else np.zeros(self.manifest.hidden_size, dtype=hidden.dtype)
+            for a, b in enc.prompt_ranges])
+
     def span_scores(self, enc: SchemaEncoding,
                     threshold: float | None = None):
+        if len(enc.span_widths) and \
+                int(np.max(enc.span_widths)) >= self.max_span_width:
+            raise ValueError(
+                f"encoding uses span widths up to "
+                f"{int(np.max(enc.span_widths)) + 1} but the manifest's "
+                f"span_rep head was traced with max_width "
+                f"{self.max_span_width} — encode with the manifest's width")
         hidden = self._encode(enc)
         word_embs = hidden[enc.word_first_subword]
-        prompt_embs = np.stack([hidden[a:b].mean(axis=0)
-                                for a, b in enc.prompt_ranges])
+        prompt_embs = self._prompt_embs(hidden, enc)
         (count_logits,) = self.sessions["count_predictor"].run(
             None, {"prompt_embeddings":
                    self._p_embedding(hidden)[None].astype(np.float32)})
@@ -169,8 +181,7 @@ class OnnxBackend:
         enc = encode_schema(text, labels, self.tokenizer,
                             self.max_span_width, kinds=["C"] * len(labels))
         hidden = self._encode(enc)
-        prompt_embs = np.stack([hidden[a:b].mean(axis=0)
-                                for a, b in enc.prompt_ranges])
+        prompt_embs = self._prompt_embs(hidden, enc)
         (logits,) = self.sessions["classifier"].run(
             None, {"schema_embeddings": prompt_embs[None].astype(np.float32)})
         logits = np.asarray(logits).ravel()[: len(labels)].astype(np.float64)

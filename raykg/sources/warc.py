@@ -100,35 +100,12 @@ def warc_to_pages(data: bytes, default_lang: str = "en") -> pa.Table:
     ``conversion`` records (WET, CC's pre-extracted sibling format): the
     payload IS the text — html stays empty and the text column carries the
     payload verbatim (the extractor is bypassed exactly as a WET-based
-    ingestion pipeline would)."""
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    for headers, payload in parse_warc_records(data):
-        rtype = headers.get("warc-type")
-        if rtype not in ("response", "conversion"):
-            continue
-        url = headers.get("warc-target-uri", "")
-        if not url:
-            continue
-        if rtype == "response":
-            html = _http_body(payload)
-            text = extract_text(html)
-        else:
-            html = b""
-            text = payload.decode("utf-8", "replace")
-        urls.append(url)
-        tss.append(_parse_warc_date(headers.get("warc-date",
-                                                "1970-01-01T00:00:00Z")))
-        htmls.append(html)
-        texts.append(text)
-        langs.append(headers.get("warc-identified-content-language",
-                                 default_lang).split(",")[0])
-    return pa.table({
-        "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(tss, pa.timestamp("us")),
-        "html": pa.array(htmls, pa.binary()),
-        "text": pa.array(texts, pa.string()),
-        "lang": pa.array(langs, pa.string()),
-    }, schema=PAGES_SCHEMA)
+    ingestion pipeline would).
+
+    Thin wrapper over the streaming converter so the record→row semantics
+    live in exactly one place (``_records_to_pages``)."""
+    tables = list(_records_to_pages(parse_warc_records(data), default_lang))
+    return pa.concat_tables(tables) if tables else PAGES_SCHEMA.empty_table()
 
 
 # -- streaming record iterator (bounded memory per task) --------------------
@@ -312,8 +289,14 @@ def read_warc(paths: list[str] | str):
     if isinstance(paths, str):
         import os
 
-        paths = [os.path.join(paths, f) for f in sorted(os.listdir(paths))] \
-            if os.path.isdir(paths) else [paths]
+        if os.path.isdir(paths):
+            # regular files only: a CC dump dir can hold subdirectories
+            # and index sidecars that are not WARC payloads
+            paths = [p for p in (os.path.join(paths, f)
+                                 for f in sorted(os.listdir(paths)))
+                     if os.path.isfile(p)]
+        else:
+            paths = [paths]
     return read_warc_splits([{"path": p} for p in paths])
 
 

@@ -36,14 +36,17 @@ def _with_bucket(batch: pd.DataFrame, keys: list[str], num_buckets: int) -> pd.D
     return batch
 
 
-# Inputs at or under this many rows are merged in ONE pandas call on the
-# driver instead of through Ray's sort-based groupby, whose fixed shuffle
-# constants (~1.5-2.5s per execution on this host) dominate small inputs.
-# Driver memory stays bounded by the budget — larger inputs take the
-# bucketized shuffle and never touch the driver. Callers always feed this
-# function PRE-AGGREGATED partials (block combiners upstream), so at 100-TB
-# scale the row count is the distinct-key×block count, not the raw corpus.
+# Inputs at or under this many rows AND bytes are merged in ONE pandas call
+# on the driver instead of through Ray's sort-based groupby, whose fixed
+# shuffle constants (~1.5-2.5s per execution on this host) dominate small
+# inputs. Driver memory stays bounded by BOTH budgets — the byte cap guards
+# callers that feed wide rows (e.g. ``dedup_pages`` with full html columns),
+# where a row count under budget could still mean tens of GB. Larger inputs
+# take the bucketized shuffle and never touch the driver. Most callers feed
+# PRE-AGGREGATED partials (block combiners upstream), so at 100-TB scale
+# the row count is the distinct-key×block count, not the raw corpus.
 DRIVER_MERGE_BUDGET = 2_000_000
+DRIVER_MERGE_BYTES = 256 * 1024 * 1024
 
 
 def bucketed_group_apply(ds, keys: list[str],
@@ -69,7 +72,7 @@ def bucketed_group_apply(ds, keys: list[str],
     if budget:
         mat = ds.materialize()
         n = mat.count()
-        if 0 < n <= budget:
+        if 0 < n <= budget and mat.size_bytes() <= DRIVER_MERGE_BYTES:
             import numpy as np
             import ray.data as rd
 

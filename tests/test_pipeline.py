@@ -721,3 +721,26 @@ def test_bucketed_group_apply_adaptive_equals_shuffle(ray_session):
                                 driver_budget_rows=100).to_pandas() \
         .sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(over, slow, check_dtype=False)
+
+
+def test_bucketed_group_apply_byte_budget_fallback(ray_session, monkeypatch):
+    """Wide rows under the ROW budget but over the BYTE budget must take the
+    shuffle path, not concat onto the driver (review: dedup_pages feeds full
+    html columns through this helper)."""
+    import ray.data as rd
+
+    from raykg.stages import shuffle as sh
+
+    df = pd.DataFrame({
+        "k": [1, 1, 2, 2],
+        "v": ["x" * 1000] * 4,
+    })
+    ds = rd.from_pandas(np.array_split(df, 2))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False).agg(n=("v", "size"))
+
+    monkeypatch.setattr(sh, "DRIVER_MERGE_BYTES", 100)   # force over-bytes
+    out = sh.bucketed_group_apply(ds, ["k"], agg).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out.values.tolist() == [[1, 2], [2, 2]]
