@@ -170,6 +170,22 @@ def _shard_files(files: list[str], shard_size: int) -> list[list[str]]:
     return [files[i:i + shard_size] for i in range(0, len(files), shard_size)]
 
 
+def _semantic_digest(labels: list[str] | None, cfg: PipelineConfig) -> str:
+    """Digest of everything that changes EXTRACTION OUTPUT (labels + the
+    model-shape config fields). Folded into every checkpoint fingerprint so
+    rerunning with different labels/threshold/chunking invalidates the
+    checkpoints instead of silently returning the previous run's graph.
+    Execution knobs (batch sizes, pool sizes, overlap) are excluded — they
+    change performance, never results (pytest parallelism-invariance)."""
+    import hashlib
+
+    key = (sorted(labels or KG_LABELS), cfg.threshold, cfg.max_seq_len,
+           cfg.stride, cfg.max_span_width, cfg.hidden, cfg.nms_threshold,
+           cfg.max_words, cfg.max_chars, cfg.overlap_chars, cfg.max_count,
+           cfg.seed, cfg.vocab_dir)
+    return hashlib.md5(repr(key).encode()).hexdigest()[:12]
+
+
 def run_kg_pipeline(pages_path: str, out_dir: str,
                     labels: list[str] | None = None,
                     config: PipelineConfig | None = None,
@@ -194,7 +210,15 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
                  if f.endswith((".parquet", ".warc", ".warc.gz"))]
     else:
         files = [pages_path]
-    shards = _shard_files(files, shard_size)
+    if not files:
+        raise ValueError(f"no .parquet/.warc input files under {pages_path}")
+    # shard parquet and WARC inputs separately — a mixed shard would hit
+    # one reader with the other's format
+    warc_files = [f for f in files if f.endswith((".warc", ".warc.gz"))]
+    pq_files = [f for f in files if not f.endswith((".warc", ".warc.gz"))]
+    shards = _shard_files(pq_files, shard_size) \
+        + _shard_files(warc_files, shard_size)
+    sem = _semantic_digest(labels, cfg)
     manifest = Manifest.load(os.path.join(out_dir, "manifest.json"))
 
     # Shard executions OVERLAP with a bounded in-flight window: each shard
@@ -234,7 +258,7 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
 
     def run_shard(k: int, shard: list[str]) -> int:
         name = f"shard={k:05d}"
-        fp = shard_fingerprint(shard)
+        fp = shard_fingerprint(shard) + f"|sem={sem}"
         shard_dir = os.path.join(out_dir, "extracts", name)
         if resume and manifest.done(name, fp) and os.path.isdir(shard_dir):
             return -1
@@ -273,6 +297,20 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
         info["shards_skipped"] = skipped
 
     extracts_dir = os.path.join(out_dir, "extracts")
+    # Prune ORPHANED shard dirs from a previous run over a larger/different
+    # input set: phase 2 reads everything under extracts/, so a stale
+    # shard=K dir would silently feed mentions from files no longer in the
+    # input (and poison the phase-2 fingerprint into marking that output
+    # consistent). Derived data only — deletion is the correct resolution.
+    expected_shards = {f"shard={k:05d}" for k in range(len(shards))}
+    if os.path.isdir(extracts_dir):
+        import shutil as _shutil
+
+        for d in os.listdir(extracts_dir):
+            if d.startswith("shard=") and d not in expected_shards:
+                _shutil.rmtree(os.path.join(extracts_dir, d),
+                               ignore_errors=True)
+
     # Read-side re-blocking: the actor pool writes MANY small files (one per
     # output block); reading them 1:1 gives the phase-2 shuffles hundreds of
     # tiny blocks whose per-task constants dominate (measured: canonicalize
@@ -281,13 +319,16 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
     # count. At 100-TB scale the same rule holds — block count tracks the
     # cluster, not the file count.
     import glob as _glob
+    import json as _json
 
     import ray as _ray
 
-    n_files = len(_glob.glob(os.path.join(extracts_dir, "**", "*.parquet"),
-                             recursive=True))
+    # one glob serves both the re-blocking count and the phase-2
+    # fingerprint — two walks could disagree if the dir changed between
+    extract_files = sorted(_glob.glob(
+        os.path.join(extracts_dir, "**", "*.parquet"), recursive=True))
     n_cpus = int(_ray.cluster_resources().get("CPU", os.cpu_count() or 8))
-    nb = max(1, min(n_files, max(16, 2 * n_cpus)))
+    nb = max(1, min(len(extract_files), max(16, 2 * n_cpus)))
     extracts = rd.read_parquet(extracts_dir, override_num_blocks=nb)
     mentions = extracts.map_batches(explode_mentions, batch_format="pyarrow", batch_size=None)
     triples = extracts.map_batches(explode_triples, batch_format="pyarrow", batch_size=None)
@@ -298,12 +339,8 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
     # aggregation shuffles on resume, and a changed extract set invalidates
     # exactly the derived outputs. The alias map is persisted beside the
     # nodes so a skipped node path can still finalize edges.
-    import glob as _glob
-    import json as _json
-
-    phase2_fp = shard_fingerprint(
-        sorted(_glob.glob(os.path.join(extracts_dir, "**", "*.parquet"),
-                          recursive=True))) + f"|alias={alias_merge}"
+    phase2_fp = shard_fingerprint(extract_files) \
+        + f"|alias={alias_merge}|sem={sem}"
     alias_path = os.path.join(out_dir, "alias_map.json")
 
     # Phase 2: the node path (canonicalize → alias CC → nodes) and the edge

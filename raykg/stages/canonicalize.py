@@ -79,7 +79,7 @@ def partial_canonical(batch: pa.Table, salts: int = DEFAULT_SALTS) -> pa.Table:
     })
 
 
-def _merge_rows(keys: list, groups: "pd.core.groupby.DataFrameGroupBy",
+def _merge_rows(groups: "pd.core.groupby.DataFrameGroupBy",
                 finalize: bool) -> pd.DataFrame:
     """Merge partial rows per key (vectorized count sum; JSON state merged
     per key — keys, not rows, bound the Python work)."""
@@ -133,11 +133,10 @@ def canonicalize(mentions_ds, salts: int = DEFAULT_SALTS, num_buckets: int = 32)
         batch_size=None)
 
     def merge_salted(df: pd.DataFrame) -> pd.DataFrame:
-        return _merge_rows(["norm", "salt"], df.groupby(["norm", "salt"],
-                                                        sort=True), False)
+        return _merge_rows(df.groupby(["norm", "salt"], sort=True), False)
 
     def merge_final(df: pd.DataFrame) -> pd.DataFrame:
-        return _merge_rows(["norm"], df.groupby("norm", sort=True), True)
+        return _merge_rows(df.groupby("norm", sort=True), True)
 
     merged = bucketed_group_apply(partials, ["norm", "salt"], merge_salted,
                                   num_buckets)
@@ -415,8 +414,11 @@ def _remerge_nodes(df: pd.DataFrame) -> pd.DataFrame:
         g2 = g.sort_values(["mention_count", "canonical"],
                            ascending=[False, True], kind="stable")
         canon = g2["canonical"].iloc[0]
-        aliases = sorted({a for al in g2["aliases"] for a in al} |
-                         set(g2["canonical"]) - {canon})[:_MAX_ALIASES]
+        # parens matter: exclude the winner from the WHOLE union — without
+        # them '-' binds before '|' and a raw alias equal to the winning
+        # canonical sneaks back in, listing the node as its own alias
+        aliases = sorted(({a for al in g2["aliases"] for a in al} |
+                          set(g2["canonical"])) - {canon})[:_MAX_ALIASES]
         lc: dict[str, int] = {}
         for lab, cnt in zip(g2["label"], g2["mention_count"]):
             lc[lab] = lc.get(lab, 0) + int(cnt)
@@ -441,7 +443,10 @@ def apply_alias_merge(nodes_ds, alias_map):
         return _apply_alias_merge_join(nodes_ds, alias_map)
     if not alias_map:
         return nodes_ds
-    affected = set(alias_map) | set(alias_map.values())
+    import pyarrow.compute as pc
+
+    affected = pa.array(sorted(set(alias_map) | set(alias_map.values())),
+                        pa.int64())
 
     def rewrite(b: pa.Table, m=alias_map) -> pa.Table:
         ids = b.column("node_id").to_pylist()
@@ -449,9 +454,10 @@ def apply_alias_merge(nodes_ds, alias_map):
                             pa.array([m.get(i, i) for i in ids], pa.int64()))
 
     def split(b: pa.Table, keep_affected: bool) -> pa.Table:
-        ids = b.column("node_id").to_pylist()
-        mask = pa.array([(i in affected) == keep_affected for i in ids])
-        return b.filter(mask)
+        # vectorized membership — the majority-untouched corpus never runs
+        # per-row Python here
+        mask = pc.is_in(b.column("node_id"), value_set=affected)
+        return b.filter(mask if keep_affected else pc.invert(mask))
 
     from .shuffle import bucketed_group_apply
 

@@ -43,10 +43,16 @@ def partial_edges(batch: pa.Table, alias_map: dict[int, int] | None = None) -> p
     uniq = pd.unique(pd.concat([df["subj"], df["obj"]], ignore_index=True))
     idmap = {}
     for s in uniq:
-        nid = surface_key(s)[1]
-        idmap[s] = am.get(nid, nid)
-    df["src"] = df["subj"].map(idmap).astype("int64")
-    df["dst"] = df["obj"].map(idmap).astype("int64")
+        norm, nid = surface_key(s)
+        # canonicalize drops empty-norm surfaces; dropping the matching
+        # endpoints here keeps edge→node referential integrity (an edge to
+        # node_id("") would dangle)
+        idmap[s] = am.get(nid, nid) if norm else None
+    df["src"] = df["subj"].map(idmap)
+    df["dst"] = df["obj"].map(idmap)
+    df = df.dropna(subset=["src", "dst"])
+    df["src"] = df["src"].astype("int64")
+    df["dst"] = df["dst"].astype("int64")
     keys = ["src", "pred", "dst"]
     agg = df.groupby(keys, sort=False, as_index=False).agg(
         weight=("url", "size"), url_sample=("url", "first"))
@@ -165,8 +171,6 @@ def finalize_edges(edges_ds, alias_map=None,
         return adaptive_sort(remerged, ["src", "pred", "dst"],
                              approx_rows=approx_rows)
     if alias_map:
-        import json as _json
-
         am = alias_map
 
         def rewrite(df: pd.DataFrame) -> pd.DataFrame:
@@ -190,9 +194,12 @@ def materialize_edges(triples_ds, alias_map: dict[int, int] | None = None,
                       num_buckets: int = 32):
     """triples Dataset → edges Dataset sorted by (src, pred, dst).
     Single-call convenience: aggregate (with the map applied in the
-    combiner) then sort."""
-    return aggregate_edges(triples_ds, alias_map, num_buckets) \
-        .sort(["src", "pred", "dst"])
+    combiner) then sort (adaptive — aggregated edge sets are usually below
+    the range-shuffle threshold)."""
+    from .shuffle import adaptive_sort
+
+    return adaptive_sort(aggregate_edges(triples_ds, alias_map, num_buckets),
+                         ["src", "pred", "dst"])
 
 
 def materialize_nodes(nodes_ds, approx_rows: int | None = None):

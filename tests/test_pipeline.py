@@ -744,3 +744,40 @@ def test_bucketed_group_apply_byte_budget_fallback(ray_session, monkeypatch):
     out = sh.bucketed_group_apply(ds, ["k"], agg).to_pandas() \
         .sort_values("k").reset_index(drop=True)
     assert out.values.tolist() == [[1, 2], [2, 2]]
+
+
+def test_resume_invalidates_on_semantic_change(ray_session, tmp_path):
+    """Checkpoint fingerprints cover labels/config, not just input files:
+    rerunning the same out_dir with different labels must re-extract and
+    rebuild the graph, and a stale orphan shard dir from a larger previous
+    run must be pruned before phase 2 (review round 3)."""
+    import ray.data as rd
+
+    from raykg.pipelines.kg import run_kg_pipeline
+
+    pages_dir = str(tmp_path / "pages")
+    pages_dataset(SF).write_parquet(pages_dir)
+    out = str(tmp_path / "kg")
+    s1 = run_kg_pipeline(pages_dir, out, link=False, shard_size=1)
+    assert s1["stages"]["extract"]["shards_skipped"] == 0
+    n_shards = s1["stages"]["extract"]["shards"]
+
+    # same input, different labels → nothing may be skipped
+    s2 = run_kg_pipeline(pages_dir, out, link=False, shard_size=1,
+                         labels=["person", "organization"])
+    assert s2["stages"]["extract"]["shards_skipped"] == 0
+    assert s2["stages"]["graph_phase"]["nodes_skipped"] is False
+    nodes = rd.read_parquet(os.path.join(out, "nodes")).to_pandas()
+    assert set(nodes["label"]) <= {"person", "organization"}
+
+    # orphan shard from a hypothetical larger run: pruned, not ingested
+    orphan = os.path.join(out, "extracts", f"shard={n_shards + 7:05d}")
+    os.makedirs(orphan, exist_ok=True)
+    import shutil as _sh
+
+    _sh.copytree(os.path.join(out, "extracts", "shard=00000"), orphan,
+                 dirs_exist_ok=True)
+    s3 = run_kg_pipeline(pages_dir, out, link=False, shard_size=1,
+                         labels=["person", "organization"])
+    assert not os.path.exists(orphan)
+    assert s3["stages"]["extract"]["shards_skipped"] == n_shards
