@@ -55,10 +55,13 @@ def _topk_merge(scores_ds, k: int):
 def _query_vector(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = t.column("vec_id").to_numpy()
-    idx = int(np.nonzero(ids == QUERY_VEC_ID)[0][0])
-    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+    # predicate-pushdown read: only the row groups containing the query id
+    # are decoded — never the whole embedding table onto the driver
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      filters=[("vec_id", "==", QUERY_VEC_ID)])
+    if t.num_rows == 0:
+        raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found")
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 def q_knn(sf_dir: str):

@@ -32,7 +32,10 @@ def q_events_hourly(sf_dir: str):
         df = pd.DataFrame({
             "event_type": b.column("event_type").to_pandas(),
             "hour": hours,
-            "value_e6": np.round(b.column("value").to_numpy() * 1e6).astype(np.int64),
+            # floor(x*1e6+0.5), not round(): numpy rounds half-to-even while
+            # SQL ROUND is half-away — identical IEEE steps on both sides
+            "value_e6": np.floor(b.column("value").to_numpy() * 1e6
+                                 + 0.5).astype(np.int64),
         })
         return df.groupby(["event_type", "hour"], as_index=False).agg(
             n=("value_e6", "size"), value_e6=("value_e6", "sum"))
@@ -48,7 +51,7 @@ def q_events_hourly(sf_dir: str):
 SQL_EVENTS_HOURLY = """
 SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
        COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS value_e6
+       CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS value_e6
 FROM events
 GROUP BY 1, 2
 ORDER BY event_type, hour
@@ -95,8 +98,11 @@ def q_events_sliding(sf_dir: str):
 
     def partial(b: pa.Table) -> pd.DataFrame:
         ts = b.column("ts").to_pandas()
-        epoch = (ts.astype("int64") // 10**6).to_numpy()      # seconds
-        v = np.round(b.column("value").to_numpy() * 1e6).astype(np.int64)
+        # unit-safe epoch seconds (a ns-resolution parquet column would make
+        # the int64 view // 1e6 produce milliseconds and 1.8s windows)
+        epoch = np.floor((ts - pd.Timestamp(0)).dt.total_seconds()) \
+            .astype(np.int64).to_numpy()
+        v = np.floor(b.column("value").to_numpy() * 1e6 + 0.5).astype(np.int64)
         et = b.column("event_type").to_pandas().to_numpy()
         w0 = (epoch // 1800) * 1800          # the step boundary at/just before ts
         rows = []
@@ -119,7 +125,7 @@ def q_events_sliding(sf_dir: str):
 SQL_EVENTS_SLIDING = """
 WITH e AS (
   SELECT event_type, CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS w0,
-         CAST(ROUND(value * 1000000) AS BIGINT) AS v
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
   FROM events
 ), expanded AS (
   SELECT event_type, w0 AS win_start, v FROM e

@@ -26,11 +26,10 @@ from ..core.canonical import SurfaceEmbedder
 _N_PLANES = 12
 
 
-def build_catalog(nodes_ds, seed: int = 42) -> dict:
-    """Materialize the (small) node catalog into plain numpy arrays suitable
-    for ``ray.put``. The catalog is the distinct-entity set — orders of
-    magnitude smaller than the corpus; at 10^12-doc scale it would be
-    sharded by LSH bucket across linker actors instead (documented path)."""
+def _materialize_catalog(nodes_ds, seed: int) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """nodes Dataset → (surfaces, node_ids, unit embedding matrix). Shared
+    by the single and sharded catalog builders so dtype / ordering / embed
+    semantics can never diverge between the two paths."""
     emb = SurfaceEmbedder(seed)
     surfaces: list[str] = []
     ids: list[int] = []
@@ -39,8 +38,28 @@ def build_catalog(nodes_ds, seed: int = 42) -> dict:
         surfaces.extend(batch.column("canonical").to_pylist())
         ids.extend(batch.column("node_id").to_pylist())
     mat = emb.embed_many(surfaces).astype(np.float32)
-    return {"surfaces": surfaces, "node_ids": np.asarray(ids, dtype=np.int64),
-            "emb": mat, "seed": seed}
+    return surfaces, np.asarray(ids, dtype=np.int64), mat
+
+
+def _build_code_index(codes: np.ndarray):
+    """Sorted-by-code bucket index: (order, codes_sorted, uniq, starts,
+    ends). Stable sort, so within a bucket entries keep catalog order —
+    the property argmax tie-breaking relies on in BOTH lookup paths."""
+    order = np.argsort(codes, kind="stable")
+    cs = codes[order]
+    uniq = np.unique(cs)
+    starts = np.searchsorted(cs, uniq, "left")
+    ends = np.append(starts[1:], len(cs))
+    return order, cs, uniq, starts, ends
+
+
+def build_catalog(nodes_ds, seed: int = 42) -> dict:
+    """Materialize the (small) node catalog into plain numpy arrays suitable
+    for ``ray.put``. The catalog is the distinct-entity set — orders of
+    magnitude smaller than the corpus; at 10^12-doc scale it would be
+    sharded by LSH bucket across linker actors instead (documented path)."""
+    surfaces, ids, mat = _materialize_catalog(nodes_ds, seed)
+    return {"surfaces": surfaces, "node_ids": ids, "emb": mat, "seed": seed}
 
 
 class LinkerActor:
@@ -66,13 +85,9 @@ class LinkerActor:
                 .astype(np.float32)
             bits = (self.emb @ self.planes) > 0
             codes = (bits * (1 << np.arange(_N_PLANES))).sum(axis=1)
-            self.buckets: dict[int, np.ndarray] = {}
-            order = np.argsort(codes, kind="stable")
-            codes_sorted = codes[order]
-            starts = np.searchsorted(codes_sorted, np.unique(codes_sorted), "left")
-            ends = np.append(starts[1:], len(codes_sorted))
-            for c, a, b in zip(np.unique(codes_sorted), starts, ends):
-                self.buckets[int(c)] = order[a:b]
+            order, _cs, uniq, starts, ends = _build_code_index(codes)
+            self.buckets: dict[int, np.ndarray] = {
+                int(c): order[a:b] for c, a, b in zip(uniq, starts, ends)}
 
     def _lookup_many(self, surfaces: list[str]) -> tuple[np.ndarray, np.ndarray]:
         n = len(surfaces)
@@ -83,20 +98,21 @@ class LinkerActor:
         # per-actor query cache: surfaces repeat heavily (Zipf)
         if len(self._q_cache) >= self._q_cache_cap:
             self._q_cache.clear()
-        miss_idx = [i for i, s in enumerate(surfaces) if s not in self._q_cache]
-        if miss_idx:
-            q = self.embedder.embed_many([surfaces[i] for i in miss_idx]) \
-                .astype(np.float32)
+        # DISTINCT misses only — a Zipf-hot surface repeated through a batch
+        # is embedded and scored once, not once per row
+        miss = list(dict.fromkeys(
+            s for s in surfaces if s not in self._q_cache))
+        if miss:
+            q = self.embedder.embed_many(miss).astype(np.float32)
             if not self.use_lsh:
                 sims = q @ self.emb.T                       # brute-force baseline
                 best = sims.argmax(axis=1)
-                for k, i in enumerate(miss_idx):
-                    self._q_cache[surfaces[i]] = (int(best[k]),
-                                                  float(sims[k, best[k]]))
+                for k, s in enumerate(miss):
+                    self._q_cache[s] = (int(best[k]), float(sims[k, best[k]]))
             else:
                 qb = (q @ self.planes) > 0
                 qcodes = (qb * (1 << np.arange(_N_PLANES))).sum(axis=1)
-                for k, i in enumerate(miss_idx):
+                for k, s in enumerate(miss):
                     code = int(qcodes[k])
                     cand = [self.buckets.get(code)]
                     for bit in range(_N_PLANES):            # multi-probe: 1-bit flips
@@ -105,7 +121,7 @@ class LinkerActor:
                         if any(c is not None for c in cand) else np.arange(len(self.node_ids))
                     sims = self.emb[idx] @ q[k]
                     j = int(sims.argmax())
-                    self._q_cache[surfaces[i]] = (int(idx[j]), float(sims[j]))
+                    self._q_cache[s] = (int(idx[j]), float(sims[j]))
         for i, s in enumerate(surfaces):
             j, sc = self._q_cache[s]
             if sc >= self.min_score:
@@ -138,40 +154,27 @@ def build_sharded_catalog(nodes_ds, n_shards: int = 4, seed: int = 42) -> list:
     its shard (object-store locality: on a cluster every node caches just
     the shards its tasks probe), so per-task memory is catalog/n_shards.
 
-    ``n_shards`` must be a power of two ≤ 2^_N_PLANES."""
+    ``n_shards`` must be a power of two ≤ 2^_N_PLANES (1 is allowed — the
+    degenerate single-shard catalog)."""
     import ray
 
-    k = max(1, (n_shards - 1).bit_length())
+    k = (n_shards - 1).bit_length()
     assert n_shards == 1 << k and n_shards <= 1 << _N_PLANES
-    emb = SurfaceEmbedder(seed)
-    surfaces: list[str] = []
-    ids: list[int] = []
-    for batch in nodes_ds.select_columns(["node_id", "canonical"]) \
-            .iter_batches(batch_size=65536, batch_format="pyarrow"):
-        surfaces.extend(batch.column("canonical").to_pylist())
-        ids.extend(batch.column("node_id").to_pylist())
-    mat = emb.embed_many(surfaces).astype(np.float32)
+    surfaces, ids_arr, mat = _materialize_catalog(nodes_ds, seed)
     rng = np.random.default_rng(seed ^ 0x157)
     planes = rng.standard_normal((mat.shape[1], _N_PLANES)).astype(np.float32)
     codes = (((mat @ planes) > 0) * (1 << np.arange(_N_PLANES))).sum(axis=1)
     shard_of = (codes >> (_N_PLANES - k)).astype(np.int64)
-    ids_arr = np.asarray(ids, dtype=np.int64)
     refs = []
     for s in range(n_shards):
-        m = shard_of == s
-        sel = np.nonzero(m)[0]
+        sel = np.nonzero(shard_of == s)[0]
         # pre-sort the shard by LSH code (stable: within a bucket entries keep
         # catalog order, so candidate order — and argmax tie-breaking — matches
         # the single-actor path) and ship the bucket index WITH the shard:
         # every linking task gets O(log b) candidate lookup via searchsorted
         # instead of rebuilding an argsort index per task.
-        sc = codes[sel]
-        order = np.argsort(sc, kind="stable")
+        order, sc, uniq, starts, ends = _build_code_index(codes[sel])
         sel = sel[order]
-        sc = sc[order]
-        uniq = np.unique(sc)
-        starts = np.searchsorted(sc, uniq, "left")
-        ends = np.append(starts[1:], len(sc))
         refs.append(ray.put({
             "surfaces": [surfaces[i] for i in sel],
             "node_ids": ids_arr[sel],
@@ -190,7 +193,7 @@ class ShardRouter:
 
     def __init__(self, seed: int, n_shards: int, num_probe_buckets: int) -> None:
         self.embedder = SurfaceEmbedder(seed)
-        self.k = max(1, (n_shards - 1).bit_length())
+        self.k = (n_shards - 1).bit_length()
         self.n_shards = n_shards
         self.m = num_probe_buckets
         rng = np.random.default_rng(seed ^ 0x157)
@@ -203,7 +206,9 @@ class ShardRouter:
     def _embed_codes(self, surfaces: list[str]) -> tuple[np.ndarray, np.ndarray]:
         if len(self._cache) >= self._cache_cap:
             self._cache.clear()
-        miss = [s for s in surfaces if s not in self._cache]
+        # DISTINCT misses only (Zipf repetition within a batch)
+        miss = list(dict.fromkeys(
+            s for s in surfaces if s not in self._cache))
         if miss:
             qm = self.embedder.embed_many(miss).astype(np.float32)
             cm = ((qm @ self.planes) > 0) @ self._bitw
@@ -221,6 +226,7 @@ class ShardRouter:
         if not surfaces:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "start": pa.array([], pa.int64()),
+                             "end": pa.array([], pa.int64()),
                              "gkey": pa.array([], pa.int64()),
                              "shard": pa.array([], pa.int64()),
                              "code": pa.array([], pa.int64()),
@@ -238,6 +244,7 @@ class ShardRouter:
         shards = (pairs % self.n_shards).astype(np.int64)
         doc_ids = np.asarray(batch.column("doc_id").to_numpy(), dtype=np.int64)
         starts = np.asarray(batch.column("start").to_numpy(), dtype=np.int64)
+        ends = np.asarray(batch.column("end").to_numpy(), dtype=np.int64)
         # deterministic mention bucket: parallelism of the link stage is
         # m × n_shards instead of n_shards, and no task ever holds a whole
         # shard's routed mentions (VERDICT r2 #4)
@@ -252,15 +259,20 @@ class ShardRouter:
                                         pa.array(qsel.ravel(), pa.float32()))
         return pa.table({"doc_id": pa.array(doc_ids[rows], pa.int64()),
                          "start": pa.array(starts[rows], pa.int64()),
+                         "end": pa.array(ends[rows], pa.int64()),
                          "gkey": pa.array(gkey, pa.int64()),
                          "shard": pa.array(shards, pa.int64()),
                          "code": pa.array(codes[rows], pa.int64()),
                          "q": qcol})
 
 
+# rank sentinel for full-shard fallback rows: sorts after every real probe
+_FALLBACK_RANK = _N_PLANES + 1
+
+
 def link_mentions_sharded(mentions_ds, shard_refs: list, seed: int = 42,
                           num_buckets: int = 32, num_probe_buckets: int = 8,
-                          route_concurrency: int = 4):
+                          route_concurrency: int = 4, min_score: float = 0.0):
     """The 10^12-entity linking path: probe-side routing + per-(shard, mention
     bucket) link + best-of merge, all as Dataset ops.
 
@@ -275,15 +287,23 @@ def link_mentions_sharded(mentions_ds, shard_refs: list, seed: int = 42,
        code + searchsorted bounds, built once in ``build_sharded_catalog``) —
        and scores queries with ONE stacked matmul per distinct probe code
        (queries sharing a code share the exact candidate set).
-    3. Best link per mention via the bucketized argmax (ties → smaller
-       entity_id — deterministic).
+    3. Best link per mention via the bucketized merge, ordered EXACTLY like
+       the single-actor path: score desc, then probe rank (own bucket before
+       bit-0 flip before bit-1 flip …), then within-bucket catalog position
+       — the first-max the single path's concatenated argmax would take.
+
+    Mention identity is ``(doc_id, start, end)`` — ``start`` alone is not
+    unique under NMS rules that keep same-start spans.
 
     Semantics vs the single-actor LSH path: identical candidate set
     (bucket ∪ 1-bit flips, unioned across probed shards; within-bucket
-    candidate order preserved, so argmax tie-breaks identically), except the
-    degenerate no-candidate fallback scans only the probed shards rather
-    than the whole catalog (documented deviation — at sharded scale a full
-    scan is exactly what must never happen)."""
+    candidate order preserved), identical ``min_score`` → ``entity_id=-1``
+    unlinked convention, with ONE documented deviation: when no probed
+    bucket matches anywhere, the fallback scans the PROBED shards'
+    sub-catalogs (marked rows, outranked by any real bucket hit) rather
+    than the whole catalog — at sharded scale a full-catalog scan is
+    exactly what must never happen. Every routed mention always emits a
+    row; none is silently dropped."""
     import pandas as pd
 
     from .shuffle import bucketed_group_apply
@@ -298,43 +318,73 @@ def link_mentions_sharded(mentions_ds, shard_refs: list, seed: int = 42,
         uniq, starts_, ends_ = cat["uniq_codes"], cat["starts"], cat["ends"]
         emb, node_ids = cat["emb"], cat["node_ids"]
 
-        def bucket_slices(code: int) -> list[tuple[int, int]]:
+        def bucket_slices(code: int) -> list[tuple[int, int, int]]:
+            """(probe_rank, start, end) per matching probe bucket, in probe
+            order: own code = rank 0, bit-b flip = rank b+1."""
             out = []
-            for c in (code, *(code ^ (1 << b) for b in range(_N_PLANES))):
+            probes = (code, *(code ^ (1 << b) for b in range(_N_PLANES)))
+            for r, c in enumerate(probes):
                 j = int(np.searchsorted(uniq, c))
                 if j < len(uniq) and uniq[j] == c:
-                    out.append((int(starts_[j]), int(ends_[j])))
+                    out.append((r, int(starts_[j]), int(ends_[j])))
             return out
 
         q_all = np.stack([np.asarray(v, dtype=np.float32) for v in df["q"]])
         codes = df["code"].to_numpy()
         doc_ids = df["doc_id"].to_numpy()
         starts_col = df["start"].to_numpy()
-        out_doc, out_start, out_eid, out_sc = [], [], [], []
+        ends_col = df["end"].to_numpy()
+        out = {"doc_id": [], "start": [], "end": [], "entity_id": [],
+               "link_score": [], "rank": [], "pos": [], "fallback": []}
         # one stacked matmul per distinct probe code: queries with the same
         # code share the exact candidate set (VERDICT r2 #4 vectorization)
         for code in np.unique(codes):
             slices = bucket_slices(int(code))
-            if not slices:
-                continue
-            idx = np.concatenate([np.arange(a, b) for a, b in slices])
+            if slices:
+                idx = np.concatenate([np.arange(a, b) for _, a, b in slices])
+                ranks = np.concatenate(
+                    [np.full(b - a, r, dtype=np.int64) for r, a, b in slices])
+                poss = np.concatenate(
+                    [np.arange(b - a, dtype=np.int64) for _, a, b in slices])
+                fb = 0
+            else:
+                # full-SHARD fallback: marked, outranked by any real bucket
+                # hit elsewhere — guarantees the mention is never dropped
+                if len(node_ids) == 0:
+                    continue
+                idx = np.arange(len(node_ids))
+                ranks = np.full(len(idx), _FALLBACK_RANK, dtype=np.int64)
+                poss = np.arange(len(idx), dtype=np.int64)
+                fb = 1
             sel = np.nonzero(codes == code)[0]
             sims = emb[idx] @ q_all[sel].T                  # (|cand|, m)
-            best_j = sims.argmax(axis=0)
-            out_doc.extend(doc_ids[sel].tolist())
-            out_start.extend(starts_col[sel].tolist())
-            out_eid.extend(node_ids[idx[best_j]].tolist())
-            out_sc.extend(sims[best_j, np.arange(len(sel))].tolist())
-        return pd.DataFrame({
-            "doc_id": pd.Series(out_doc, dtype="int64"),
-            "start": pd.Series(out_start, dtype="int64"),
-            "entity_id": pd.Series(out_eid, dtype="int64"),
-            "link_score": pd.Series(out_sc, dtype="float64")})
+            best_j = sims.argmax(axis=0)        # first max == min (rank,pos)
+            out["doc_id"].extend(doc_ids[sel].tolist())
+            out["start"].extend(starts_col[sel].tolist())
+            out["end"].extend(ends_col[sel].tolist())
+            out["entity_id"].extend(node_ids[idx[best_j]].tolist())
+            out["link_score"].extend(
+                sims[best_j, np.arange(len(sel))].tolist())
+            out["rank"].extend(ranks[best_j].tolist())
+            out["pos"].extend(poss[best_j].tolist())
+            out["fallback"].extend([fb] * len(sel))
+        return pd.DataFrame({k: pd.Series(v, dtype="int64" if k not in
+                                          ("link_score",) else "float64")
+                             for k, v in out.items()})
 
     def best(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["doc_id", "start", "link_score", "entity_id"],
-                            ascending=[True, True, False, True], kind="stable")
-        return df.drop_duplicates(["doc_id", "start"], keep="first")
+        df = df.sort_values(
+            ["doc_id", "start", "end", "fallback", "link_score", "rank",
+             "pos", "entity_id"],
+            ascending=[True, True, True, True, False, True, True, True],
+            kind="stable")
+        df = df.drop_duplicates(["doc_id", "start", "end"], keep="first")
+        # the single-actor unlinked convention: below min_score → -1 / 0.0
+        low = df["link_score"] < min_score
+        df.loc[low, "entity_id"] = -1
+        df.loc[low, "link_score"] = 0.0
+        df["link_score"] = df["link_score"].astype("float32")
+        return df[["doc_id", "start", "end", "entity_id", "link_score"]]
 
     routed = mentions_ds.map_batches(
         ShardRouter,
@@ -344,5 +394,5 @@ def link_mentions_sharded(mentions_ds, shard_refs: list, seed: int = 42,
         concurrency=route_concurrency)
     linked = routed.groupby("gkey").map_groups(link_shard,
                                                batch_format="pandas")
-    return bucketed_group_apply(linked, ["doc_id", "start"], best,
+    return bucketed_group_apply(linked, ["doc_id", "start", "end"], best,
                                 num_buckets=num_buckets)

@@ -150,3 +150,54 @@ def test_sharded_catalog_matches_single_actor(ray_session):
     pd.testing.assert_frame_equal(got1, got16)
     pd.testing.assert_frame_equal(got1, got.sort_values("doc_id")
                                   .reset_index(drop=True))
+
+
+def test_sharded_never_drops_mentions(ray_session):
+    """A mention whose LSH code matches NO bucket in any probed shard must
+    still emit a row (full-shard fallback, outranked by real bucket hits),
+    and the single path's min_score → entity_id=-1 convention applies
+    (review round 3: such mentions previously vanished from the output)."""
+    import ray.data as rd
+
+    from raykg.core.canonical import node_id
+    from raykg.stages.link import build_sharded_catalog, link_mentions_sharded
+
+    surfaces = ["helios dynamics", "northwind systems", "amelia reed",
+                "vertex labs"]
+    nodes = rd.from_pandas(pd.DataFrame({
+        "node_id": [node_id(s) for s in surfaces],
+        "canonical": surfaces,
+        "label": ["organization"] * len(surfaces),
+        "aliases": [[s] for s in surfaces],
+        "mention_count": [1] * len(surfaces),
+    })).materialize()
+    refs = build_sharded_catalog(nodes, n_shards=4)
+
+    import pyarrow as pa
+
+    # gibberish queries: overwhelmingly likely to miss every bucket
+    queries = ["zzzzqqq", "xkcd glorp wub", "qqqq zz x", "helios dynamics"]
+    mentions = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(queries)), pa.int64()),
+        "url": pa.array(["u"] * len(queries), pa.string()),
+        "text": pa.array(queries, pa.string()),
+        "label": pa.array(["x"] * len(queries), pa.string()),
+        "score": pa.array([1.0] * len(queries), pa.float32()),
+        "start": pa.array([0] * len(queries), pa.int64()),
+        "end": pa.array([1] * len(queries), pa.int64()),
+    }))
+    got = link_mentions_sharded(mentions, refs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(queries)          # nothing dropped
+    # the exact-match query links with score ~1; any sub-min_score row
+    # carries the unlinked convention
+    exact = got[got.doc_id == 3]
+    assert exact["entity_id"].iloc[0] == node_id("helios dynamics")
+    low = got[got.link_score == 0.0]
+    assert (low["entity_id"] == -1).all()
+
+    # n_shards=1 degenerate case is allowed and equivalent
+    one = build_sharded_catalog(nodes, n_shards=1)
+    got1 = link_mentions_sharded(mentions, one).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got1) == len(queries)
