@@ -17,7 +17,9 @@ import pyarrow as pa
 from ..sources.tables import read_table
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
-_STOP_RE = re.compile(r"\b(?:the|a|of|to|and|in|is)\b")
+_STOP_RE = re.compile(r"\b(?:the|a|of|to|and|in|is)\b", re.ASCII)
+# re.ASCII: Python's \b is Unicode-aware by default while DuckDB/RE2's is
+# ASCII — without the flag "isé" counts a stopword in SQL but not here
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 _PUNCT_RE = re.compile(r"[^A-Za-z0-9_\s]")
 
@@ -27,8 +29,6 @@ STOP_PATTERN_SQL = r"\b(?:the|a|of|to|and|in|is)\b"
 
 def q_doc_stats(sf_dir: str):
     """Per-document token statistics — one vectorized stateless pass."""
-    import ray.data as rd
-
     def stats(b: pa.Table) -> pd.DataFrame:
         texts = b.column("text").to_pylist()
         return pd.DataFrame({
@@ -48,8 +48,10 @@ def q_doc_stats(sf_dir: str):
 SQL_DOC_STATS = f"""
 SELECT doc_id,
        length(text) AS n_chars,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+       CASE WHEN NOT regexp_matches(text, '\\S') THEN 0
+            ELSE len(regexp_split_to_array(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                   '\\s+')) END AS n_words,
        len(regexp_extract_all(text, '{TOKEN_PATTERN_SQL}')) AS n_tokens,
        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
        len(regexp_extract_all(lower(text), '{STOP_PATTERN_SQL}')) AS n_stop
@@ -60,8 +62,6 @@ ORDER BY doc_id
 
 def q_lang_dist(sf_dir: str):
     """Corpus profile per (lang, source) — combiner + tiny groupby."""
-    import ray.data as rd
-
     from ..stages.shuffle import bucketed_named_agg
 
     def partial(b: pa.Table) -> pd.DataFrame:
@@ -93,9 +93,10 @@ ORDER BY lang, source
 def q_quality(sf_dir: str):
     """Quality features + a boolean gate on integer thresholds. Ratios are
     single IEEE divisions of the same integers on both sides → bit-identical;
-    rounded to 6 decimals anyway."""
-    import ray.data as rd
-
+    trimmed to 6 decimals via floor(x*1e6+0.5)/1e6, the same IEEE steps in
+    both engines (Python round() is half-to-even, DuckDB's is half-away —
+    they disagree on exact dyadic ties like 1/128)."""
+    import math
     def quality(b: pa.Table) -> pd.DataFrame:
         texts = b.column("text").to_pylist()
         n_tok = [len(_TOKEN_RE.findall(t)) for t in texts]
@@ -104,9 +105,9 @@ def q_quality(sf_dir: str):
         return pd.DataFrame({
             "doc_id": b.column("doc_id").to_pandas(),
             "n_tokens": n_tok,
-            "punct_ratio": [round(p / t, 6) if t else 0.0
+            "punct_ratio": [math.floor(p / t * 1e6 + 0.5) / 1e6 if t else 0.0
                             for p, t in zip(n_punct, n_tok)],
-            "stop_ratio": [round(s / t, 6) if t else 0.0
+            "stop_ratio": [math.floor(s / t * 1e6 + 0.5) / 1e6 if t else 0.0
                            for s, t in zip(n_stop, n_tok)],
             "is_quality": [bool(t >= 20 and s > 0) for t, s in zip(n_tok, n_stop)],
         })
@@ -125,9 +126,11 @@ WITH t AS (
   FROM documents)
 SELECT doc_id, n_tokens,
        CASE WHEN n_tokens = 0 THEN 0.0
-            ELSE round(n_punct / CAST(n_tokens AS DOUBLE), 6) END AS punct_ratio,
+            ELSE floor(n_punct / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000 END AS punct_ratio,
        CASE WHEN n_tokens = 0 THEN 0.0
-            ELSE round(n_stop / CAST(n_tokens AS DOUBLE), 6) END AS stop_ratio,
+            ELSE floor(n_stop / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000 END AS stop_ratio,
        (n_tokens >= 20 AND n_stop > 0) AS is_quality
 FROM t
 ORDER BY doc_id
@@ -136,8 +139,6 @@ ORDER BY doc_id
 
 def q_content_hash(sf_dir: str):
     """Exact content fingerprint (md5) per doc — the dedup primitive."""
-    import ray.data as rd
-
     def h(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
         return pa.table({
@@ -212,8 +213,6 @@ class LangId:
 
 
 def q_langid(sf_dir: str):
-    import ray.data as rd
-
     return read_table(sf_dir, "documents", ["doc_id", "text", "lang"]) \
         .map_batches(LangId, batch_format="pyarrow", batch_size=4096,
                      concurrency=2).sort("doc_id")
@@ -310,8 +309,6 @@ def q_fingerprint_kgram(sf_dir: str):
     winnowing) remains the production operator; this one exists to put the
     fingerprint math under the SQL oracle. Short texts fall back to one
     gram = the whole text, matching the SQL's clamped series."""
-    import ray.data as rd
-
     def fp(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id")
         mins = []
@@ -350,8 +347,6 @@ def q_fingerprint(sf_dir: str):
     ASCII; the corpus is pure ASCII at every SF), and < 2^30 grams per doc
     (the SQL's rightmost-min encoding reserves 30 bits for the window
     rank)."""
-    import ray.data as rd
-
     def fp(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id")
         digests, counts, mins = [], [], []
@@ -429,7 +424,12 @@ FROM per_doc p JOIN digests d USING (doc_id) ORDER BY doc_id
 
 # -- corpus-level token document frequency (stopword / vocabulary mining) ---
 
-def q_token_df(sf_dir: str, min_docs: int = 50):
+TOKEN_DF_MIN_DOCS = 50
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 10
+BOILERPLATE_MIN_DOCS = 3
+
+
+def q_token_df(sf_dir: str, min_docs: int = TOKEN_DF_MIN_DOCS):
     """Document frequency per token over the corpus — the vocabulary-mining
     primitive behind df-based stopword discovery and vocab pruning.
 
@@ -439,8 +439,6 @@ def q_token_df(sf_dir: str, min_docs: int = 50):
     overlap — then one bucketized merge. The shuffle moves token partials,
     never text. Only tokens with df ≥ ``min_docs`` survive (the output is
     the corpus HEAD, bounded regardless of corpus size)."""
-    import ray.data as rd
-
     def partial(b: pa.Table) -> pd.DataFrame:
         from collections import Counter
 
@@ -476,20 +474,19 @@ WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN_SQL}')) AS token
   FROM documents)
 SELECT token, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
-FROM toks GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 50
+FROM toks GROUP BY token HAVING COUNT(DISTINCT doc_id) >= {TOKEN_DF_MIN_DOCS}
 ORDER BY token
 """
 
 
 # -- deterministic hash split (train/val/test) ------------------------------
 
-def q_split(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
+def q_split(sf_dir: str, train_pct: int = SPLIT_TRAIN_PCT,
+            val_pct: int = SPLIT_VAL_PCT):
     """Leakage-free corpus split: bucket = md5-derived hash of doc_id %
     100 — a pure function of the row key, so the assignment is stable
     across runs, resumes, corpus growth and parallelism (the standard way
     to split 10^12 rows without a shuffle or a stored assignment table)."""
-    import ray.data as rd
-
     def assign(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
         buckets = [int(hashlib.md5(b"split|%d" % i).hexdigest()[:8], 16) % 100
@@ -506,22 +503,23 @@ def q_split(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
         .sort("doc_id")
 
 
-SQL_SPLIT = """
+SQL_SPLIT = f"""
 WITH h AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)),
                                   1, 8)) AS BIGINT) % 100 AS bucket
   FROM documents)
 SELECT doc_id, bucket,
-       CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
 FROM h ORDER BY doc_id
 """
 
 
 # -- corpus-level boilerplate-line removal ----------------------------------
 
-def boilerplate_lines(docs_ds, min_docs: int = 3):
+def boilerplate_lines(docs_ds, min_docs: int = BOILERPLATE_MIN_DOCS):
     """Lines appearing in ≥ ``min_docs`` DISTINCT documents (headers,
     footers, nav chrome — the classic Common-Crawl cleaning target).
     Combiner emits per-batch distinct (line, n_docs) partials (exact: one
@@ -573,7 +571,7 @@ def strip_boilerplate(docs_ds, boilerplate_ref):
     return docs_ds.map_batches(strip, batch_format="pyarrow", batch_size=4096)
 
 
-def q_boilerplate(sf_dir: str, min_docs: int = 3):
+def q_boilerplate(sf_dir: str, min_docs: int = BOILERPLATE_MIN_DOCS):
     """End-to-end boilerplate removal over the documents table. (The
     driver's synthetic corpus has fully distinct texts, so this is the
     identity there — the oracle still verifies the full split/strip/rejoin
@@ -587,12 +585,12 @@ def q_boilerplate(sf_dir: str, min_docs: int = 3):
     return strip_boilerplate(docs, ray.put(bad)).sort("doc_id")
 
 
-SQL_BOILERPLATE = """
+SQL_BOILERPLATE = f"""
 WITH lines AS (
   SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
 freq AS (
   SELECT line FROM lines WHERE line <> '' GROUP BY line
-  HAVING COUNT(DISTINCT doc_id) >= 3),
+  HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}),
 fl AS (SELECT coalesce(list(line), []) AS bl FROM freq)
 SELECT d.doc_id,
   array_to_string(
@@ -617,8 +615,6 @@ def q_sample(sf_dir: str, n: int = SAMPLE_N):
     the key; growing the corpus only displaces rows at the boundary).
     Per-batch partial top-N + one tiny single-block merge; only (doc_id,
     rank-hash) rows ever move."""
-    import ray.data as rd
-
     def partial(b: pa.Table) -> pd.DataFrame:
         ids = b.column("doc_id").to_pylist()
         hs = [hashlib.md5(b"s|%d" % i).hexdigest() for i in ids]
@@ -654,8 +650,6 @@ def q_len_quantiles(sf_dir: str):
     the quantile is read off the cumulative counts in a single tiny task.
     Quantile semantics = DuckDB's quantile_disc: smallest value whose
     cumulative count ≥ ceil(q·n)."""
-    import ray.data as rd
-
     def hist(b: pa.Table) -> pd.DataFrame:
         vc = pd.Series(b.column("n_chars").to_pylist()).value_counts()
         return pd.DataFrame({"value": vc.index.astype("int64"),

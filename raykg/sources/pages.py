@@ -128,7 +128,7 @@ def synth_body(doc_id: int, filler: str, seed: int = 42) -> str:
     return body
 
 
-def synth_html(doc_id: int, body: str, lang: str, seed: int = 42) -> bytes:
+def synth_html(doc_id: int, body: str, seed: int = 42) -> bytes:
     """Wrap a body in deliberately messy HTML (entities, script/style,
     comments, nested inline tags, multi-byte title)."""
     rng = _rng(doc_id ^ 0x5EED, seed)
@@ -165,7 +165,7 @@ def make_page_row(doc_id: int, filler: str, lang: str, seed: int = 42) -> dict:
     domain = _zipf_pick(rng, DOMAINS)
     url = f"https://{domain}/article/{src_id}"
     ts = EPOCH + timedelta(minutes=int(doc_id)) + (timedelta(days=1) if dup else timedelta())
-    html_bytes = synth_html(src_id, synth_body(src_id, filler, seed), lang, seed)
+    html_bytes = synth_html(src_id, synth_body(src_id, filler, seed), seed)
     return {
         "url": url,
         "warc_ts": ts,

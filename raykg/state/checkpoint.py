@@ -55,7 +55,8 @@ class Manifest:
         self.shards[shard] = {"fingerprint": fingerprint,
                               "completed_at": time.time(), **lineage}
         tmp = self.path + ".tmp"
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        if os.path.dirname(self.path):
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(self.shards, f, indent=1, sort_keys=True)
         os.replace(tmp, self.path)
