@@ -76,12 +76,8 @@ def main(argv: list[str] | None = None) -> int:
 
         o = Oracle()
         labels = args.labels or KG_LABELS
-        mentions = o.extract_mentions(args.text, labels, args.threshold)
-        triples = []
-        from .core.relations import extract_triples
-
-        triples = extract_triples(args.text, mentions, o.relations,
-                                  o._compiled, o._prefilter)
+        mentions, triples = o.extract_with_triples(args.text, labels,
+                                                   args.threshold)
         print(json.dumps({
             "mentions": [{"text": m.text, "label": m.label,
                           "score": round(m.score, 4),
@@ -93,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "bench":
         # single-process benchmark like the reference's (no Ray session)
-        import json as _json
+        import os as _os
         import tempfile
 
         from .oracle import Oracle
@@ -101,14 +97,19 @@ def main(argv: list[str] | None = None) -> int:
         from .state.metrics import run_latency_mode, run_throughput_mode
 
         path = args.fixtures
+        tmp_fd = None
         if path is None:
-            path = write_benchmark_jsonl(
-                tempfile.mktemp(prefix="raykg_fixtures_", suffix=".jsonl"))
+            tmp_fd, path = tempfile.mkstemp(prefix="raykg_fixtures_",
+                                            suffix=".jsonl")
+            write_benchmark_jsonl(path)
         samples = []
         with open(path, encoding="utf-8") as f:
             for line in f:
                 if line.strip():
-                    samples.append(_json.loads(line))
+                    samples.append(json.loads(line))
+        if tmp_fd is not None:
+            _os.close(tmp_fd)
+            _os.unlink(path)
         o = Oracle()
         fn = o.extract_mentions
         report = (lambda *_: None) if args.quiet else print

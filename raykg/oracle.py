@@ -117,11 +117,19 @@ class Oracle:
             result["structures"][s.name] = rec
         return result
 
+    def extract_with_triples(self, text: str, labels: list[str],
+                             threshold: float | None = None):
+        """Plain-text mentions + relation triples — the composition
+        extract_page owns, exposed for text-level callers (CLI) so the
+        relation-compilation internals stay encapsulated."""
+        mentions = self.extract_mentions(text, labels, threshold)
+        triples = extract_triples(text, mentions, self.relations,
+                                  self._compiled, self._prefilter)
+        return mentions, triples
+
     # -- full per-page KG path --------------------------------------------
     def extract_page(self, url: str, html: bytes, labels: list[str],
                      threshold: float | None = None) -> PageResult:
         text = extract_text(html)
-        mentions = self.extract_mentions(text, labels, threshold)
-        triples = extract_triples(text, mentions, self.relations,
-                                  self._compiled, self._prefilter)
+        mentions, triples = self.extract_with_triples(text, labels, threshold)
         return PageResult(url, text, mentions, triples)

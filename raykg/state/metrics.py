@@ -28,23 +28,31 @@ def percentile(sorted_vals: list[float], p: float) -> float:
 
 
 def benchmark_stats(latencies_ms: list[float], total_chars: int = 0,
-                    entities: int = 0, wall_s: float | None = None) -> dict:
-    """G2: the reference's benchmark-statistics aggregate
-    (BenchmarkCLI.swift:661-748): avg / median / p95 (linear-interp) / min /
-    max latency in ms, chars/sec, requests/sec, entities extracted."""
+                    entities: int = 0, fixtures: int | None = None,
+                    batch_latencies_ms: list[float] | None = None) -> dict:
+    """G2: the reference's benchmark-statistics aggregate, EXACT semantics
+    (BenchmarkCLI.swift:661-711): throughputs are computed over the SUM OF
+    TIMED LATENCIES — never wall clock, which would fold warmup and report
+    printing into the rate; ``samples`` is the FIXTURE count with the
+    request count under ``total_requests`` (the reference's field split);
+    requests/sec uses the batch-latency sum when batch mode supplied it."""
     xs = sorted(latencies_ms)
     n = len(xs)
     total = sum(xs)
-    wall = wall_s if wall_s is not None else total / 1000.0
+    batch_total = sum(batch_latencies_ms) if batch_latencies_ms else 0.0
+    req_denom = batch_total if batch_total > 0 else total
     return {
-        "samples": n,
+        "samples": n if fixtures is None else fixtures,
+        "total_requests": n,
         "avg_ms": round(total / n, 3) if n else 0.0,
         "median_ms": round(percentile(xs, 0.5), 3),
         "p95_ms": round(percentile(xs, 0.95), 3),
         "min_ms": round(xs[0], 3) if n else 0.0,
         "max_ms": round(xs[-1], 3) if n else 0.0,
-        "chars_per_sec": round(total_chars / wall, 2) if wall > 0 else 0.0,
-        "requests_per_sec": round(n / wall, 2) if wall > 0 else 0.0,
+        "chars_per_sec": round(total_chars / (total / 1000.0), 2)
+        if total > 0 else 0.0,
+        "requests_per_sec": round(n / (req_denom / 1000.0), 2)
+        if req_denom > 0 else 0.0,
         "entities_extracted": entities,
     }
 
@@ -58,21 +66,22 @@ def run_latency_mode(samples: list[dict], extract_fn, iterations: int = 5,
 
     latencies: list[float] = []
     total_chars = total_words = total_entities = 0
-    t0 = time.perf_counter()
-    for s in samples:
+    for si, s in enumerate(samples):
+        labels = s.get("labels", [])
+        sid = str(s.get("id", f"sample_{si:03d}"))
         for _ in range(warmup):
-            extract_fn(s["text"], s["labels"], s.get("threshold"))
+            extract_fn(s["text"], labels, s.get("threshold"))
         for it in range(iterations):
             t = time.perf_counter()
-            entities = extract_fn(s["text"], s["labels"], s.get("threshold"))
+            entities = extract_fn(s["text"], labels, s.get("threshold"))
             ms = (time.perf_counter() - t) * 1000.0
             latencies.append(ms)
             total_chars += len(s["text"])
             total_words += word_count(s["text"])
             total_entities += len(entities)
-            report(f"{s['id'][:20]:<20} | iter {it + 1} | {ms:.2f} ms")
+            report(f"{sid[:20]:<20} | iter {it + 1} | {ms:.2f} ms")
     stats = benchmark_stats(latencies, total_chars, total_entities,
-                            wall_s=time.perf_counter() - t0)
+                            fixtures=len(samples))
     stats["mode"] = "latency"
     stats["words_analyzed"] = total_words
     stats["fixtures"] = len(samples)
@@ -97,18 +106,18 @@ def run_throughput_mode(samples: list[dict], extract_fn, iterations: int = 5,
     latencies: list[float] = []
     batch_latencies: list[float] = []
     total_chars = total_words = total_entities = 0
-    t0 = time.perf_counter()
 
     def one(s: dict) -> tuple[float, int]:
         t = time.perf_counter()
-        ents = extract_fn(s["text"], s["labels"], s.get("threshold"))
+        ents = extract_fn(s["text"], s.get("labels", []), s.get("threshold"))
         return (time.perf_counter() - t) * 1000.0, len(ents)
 
     with ThreadPoolExecutor(max_workers=concurrency) as pool:
         for bi, batch in enumerate(batches):
             for _ in range(max(warmup, 0)):
                 for s in batch:
-                    extract_fn(s["text"], s["labels"], s.get("threshold"))
+                    extract_fn(s["text"], s.get("labels", []),
+                               s.get("threshold"))
             for it in range(iterations):
                 bt = time.perf_counter()
                 results = list(pool.map(one, batch))
@@ -122,7 +131,8 @@ def run_throughput_mode(samples: list[dict], extract_fn, iterations: int = 5,
                 report(f"batch {bi + 1}/{len(batches)} | iter {it + 1} | "
                        f"{bms:.2f} ms | {len(batch)} samples")
     stats = benchmark_stats(latencies, total_chars, total_entities,
-                            wall_s=time.perf_counter() - t0)
+                            fixtures=len(samples),
+                            batch_latencies_ms=batch_latencies)
     stats["mode"] = "throughput"
     stats["words_analyzed"] = total_words
     stats["fixtures"] = len(samples)
@@ -130,6 +140,7 @@ def run_throughput_mode(samples: list[dict], extract_fn, iterations: int = 5,
     stats["concurrency"] = concurrency
     xs = sorted(batch_latencies)
     stats["batch_avg_ms"] = round(sum(xs) / len(xs), 3) if xs else 0.0
+    stats["batch_median_ms"] = round(percentile(xs, 0.5), 3)
     stats["batch_p95_ms"] = round(percentile(xs, 0.95), 3)
     return stats
 
@@ -158,6 +169,6 @@ class RunMetrics:
                 "stages": self.stages}
 
     def write(self, path: str) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
             json.dump(self.summary(), f, indent=1, sort_keys=True)

@@ -128,8 +128,9 @@ def test_benchmark_stats_aggregate():
     from raykg.state.metrics import benchmark_stats
 
     s = benchmark_stats([10.0, 20.0, 30.0, 40.0], total_chars=1000,
-                        entities=7, wall_s=0.1)
-    assert s["samples"] == 4 and s["avg_ms"] == 25.0
+                        entities=7)
+    # reference semantics: rates over the 100ms latency SUM, not wall clock
+    assert s["samples"] == 4 and s["total_requests"] == 4 and s["avg_ms"] == 25.0
     assert s["median_ms"] == 25.0            # linear interp between 20 and 30
     assert s["min_ms"] == 10.0 and s["max_ms"] == 40.0
     assert s["p95_ms"] == 38.5               # 0.95*(n-1)=2.85 → 30+0.85*10
