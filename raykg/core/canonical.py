@@ -43,7 +43,10 @@ def _normalize_pass(t: str) -> str:
     """One round of edge cleanup: edge punct+ws strip, possessive pop,
     corporate-designator pop (never strips the only token)."""
     t = t.strip(_EDGE_STRIP)
-    if t.endswith("'s"):
+    # both apostrophe forms: web text overwhelmingly uses the curly U+2019
+    # ("McDonald’s"), and NFKC does NOT fold it to ASCII — without this the
+    # two spellings of one entity land on different node_ids
+    if t.endswith("'s") or t.endswith("’s"):
         t = t[:-2].strip(_EDGE_STRIP)
     toks = t.split(" ")
     while len(toks) > 1 and toks[-1].strip(_EDGE_STRIP) in _CORP_SUFFIXES:
@@ -95,11 +98,14 @@ def surface_key(s: str) -> tuple[str, int]:
 _EMB_DIM = 64
 
 
-def _tri_vec(tri: bytes, seed: int) -> np.ndarray:
+def _tri_vec(tri: bytes, seed: int, dim: int = _EMB_DIM) -> np.ndarray:
     h = int.from_bytes(blake2b(tri, digest_size=8,
                                salt=b"emb%d" % seed).digest(), "big")
     rng = np.random.default_rng(h)
-    return rng.standard_normal(_EMB_DIM)
+    # generate exactly `dim` values: a fixed 64-wide draw sliced to dim
+    # made every dim > 64 crash at the first embed (the first `dim` draws
+    # of the same seeded generator are a prefix, so dim ≤ 64 is unchanged)
+    return rng.standard_normal(dim)
 
 
 class SurfaceEmbedder:
@@ -119,7 +125,7 @@ class SurfaceEmbedder:
             tri = s[i:i + 3]
             v = self._cache.get(tri)
             if v is None:
-                v = _tri_vec(tri, self.seed)[: self.dim]
+                v = _tri_vec(tri, self.seed, self.dim)
                 self._cache[tri] = v
             acc += v
         n = np.linalg.norm(acc)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from .wordsplit import WORD_RE, word_count
+from .wordsplit import WORD_RE
 
 
 @dataclass(frozen=True)
@@ -37,7 +37,13 @@ class TextChunk:
 
 
 def should_chunk(text: str, max_words: int) -> bool:
-    return word_count(text) > max_words
+    # early exit at max_words+1: the exact count (already computed upstream
+    # as n_words) is not needed here, and long docs shouldn't pay a full
+    # regex scan in the scorer actor's hot path just to learn "yes"
+    for i, _ in enumerate(WORD_RE.finditer(text)):
+        if i >= max_words:
+            return True
+    return False
 
 
 def chunk_text(text: str, max_chars: int, overlap_chars: int,
@@ -78,7 +84,15 @@ def chunk_text(text: str, max_chars: int, overlap_chars: int,
             words = words[:max_words]
         if piece:
             chunks.append(TextChunk(piece, s, e, len(words)))
-        if e >= n:
+        # exit when only whitespace remains past the consumed end: testing
+        # the trimmed `e >= n` never terminates via break when the document
+        # has trailing whitespace — the loop would rewind by overlap_chars
+        # past the real final chunk and crawl forward 1 char/iteration,
+        # emitting dozens of shrinking mid-word junk chunks ("295", "95",
+        # …) that the scorer then wastes forwards on. (A plain `end >= n`
+        # would instead DROP tail words whenever the max_words shrink cut
+        # the final window short.)
+        if not text[e:].strip():
             break
         next_pos = max(e - overlap_chars, pos + 1)
         # never restart inside the region we already fully consumed with no

@@ -42,8 +42,9 @@ class Mention:
         return (self.text, self.label, self.start, self.end)
 
 
-def sigmoid(x: np.ndarray) -> np.ndarray:
-    return 1.0 / (1.0 + np.exp(-x))
+# single shared definition — five scattered copies meant any numeric
+# hardening had to land in five places (see simfuncs)
+from .simfuncs import sigmoid  # noqa: E402
 
 
 def decode_spans(logits: np.ndarray, enc: SchemaEncoding, threshold: float) -> list[Mention]:

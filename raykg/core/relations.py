@@ -85,12 +85,41 @@ class RelationConfig:
     def compile(self) -> list[tuple[RelationPattern, re.Pattern]]:
         return [(p, p.compiled()) for p in self.patterns]
 
-    def prefilter(self) -> re.Pattern:
+    def prefilter(self):
         """One combined alternation: a pair whose between-text matches NO
         pattern (the common case in real text) is rejected with a single
-        regex scan instead of |patterns| scans."""
-        return re.compile("|".join(f"(?:{p.regex})" for p in self.patterns),
-                          re.IGNORECASE)
+        regex scan instead of |patterns| scans.
+
+        User patterns are configuration (this table is extensible), and two
+        regex features break inside a joined alternation: numbered
+        backreferences (groups renumber, silently rejecting pairs the
+        individual pattern matches) and global inline flags like ``(?s)``
+        mid-pattern (re.error on Python 3.11+). Such patterns are kept OUT
+        of the alternation and scanned individually — correctness first,
+        the single-scan fast path for the (default) safe patterns."""
+        unsafe_re = re.compile(r"\\[1-9]|\(\?[aiLmsux]+\)")
+        safe = [p for p in self.patterns if not unsafe_re.search(p.regex)]
+        unsafe = [p.compiled() for p in self.patterns
+                  if unsafe_re.search(p.regex)]
+        combined = re.compile(
+            "|".join(f"(?:{p.regex})" for p in safe),
+            re.IGNORECASE) if safe else None
+
+        if not unsafe:
+            return combined
+
+        class _Prefilter:
+            def search(self, s: str):
+                got = combined.search(s) if combined is not None else None
+                if got is not None:
+                    return got
+                for pat in unsafe:
+                    got = pat.search(s)
+                    if got is not None:
+                        return got
+                return None
+
+        return _Prefilter()
 
 
 def sentence_spans(text: str) -> list[tuple[int, int]]:
