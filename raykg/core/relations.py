@@ -97,6 +97,14 @@ class RelationConfig:
         mid-pattern (re.error on Python 3.11+). Such patterns are kept OUT
         of the alternation and scanned individually — correctness first,
         the single-scan fast path for the (default) safe patterns."""
+        if not self.patterns:
+            # No patterns ⇒ nothing can match; a never-matching stub keeps
+            # callers' prefilter.search(...) contract (None would crash).
+            class _Never:
+                def search(self, s: str):
+                    return None
+            return _Never()
+
         unsafe_re = re.compile(r"\\[1-9]|\(\?[aiLmsux]+\)")
         safe = [p for p in self.patterns if not unsafe_re.search(p.regex)]
         unsafe = [p.compiled() for p in self.patterns

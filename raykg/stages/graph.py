@@ -41,18 +41,21 @@ def partial_edges(batch: pa.Table, alias_map: dict[int, int] | None = None) -> p
         "url": batch.column("url").to_pylist(),
     })
     uniq = pd.unique(pd.concat([df["subj"], df["obj"]], ignore_index=True))
-    idmap = {}
+    # idmap holds ONLY valid (non-empty-norm) surfaces so its values are all
+    # int: pandas coerces a dict with any None value to float64 internally,
+    # which silently corrupts 63-bit node ids (2**53 float mantissa). Rows
+    # whose endpoint is missing from idmap are dropped BEFORE mapping —
+    # canonicalize drops empty-norm surfaces, and dropping the matching
+    # endpoints here keeps edge→node referential integrity (an edge to
+    # node_id("") would dangle).
+    idmap: dict = {}
     for s in uniq:
         norm, nid = surface_key(s)
-        # canonicalize drops empty-norm surfaces; dropping the matching
-        # endpoints here keeps edge→node referential integrity (an edge to
-        # node_id("") would dangle)
-        idmap[s] = am.get(nid, nid) if norm else None
-    df["src"] = df["subj"].map(idmap)
-    df["dst"] = df["obj"].map(idmap)
-    df = df.dropna(subset=["src", "dst"])
-    df["src"] = df["src"].astype("int64")
-    df["dst"] = df["dst"].astype("int64")
+        if norm:
+            idmap[s] = am.get(nid, nid)
+    df = df[df["subj"].isin(idmap) & df["obj"].isin(idmap)]
+    df = df.assign(src=df["subj"].map(idmap).astype("int64"),
+                   dst=df["obj"].map(idmap).astype("int64"))
     keys = ["src", "pred", "dst"]
     agg = df.groupby(keys, sort=False, as_index=False).agg(
         weight=("url", "size"), url_sample=("url", "first"))

@@ -175,6 +175,47 @@ def test_nodes_and_edges(ray_session, extracts):
     assert set(edges["src"]) <= node_ids and set(edges["dst"]) <= node_ids
 
 
+def test_partial_edges_empty_norm_keeps_int64_ids(ray_session):
+    """An empty-norm (punctuation-only) endpoint in a batch must not poison
+    the other rows' 63-bit node ids: pandas coerces a dict with any None
+    value to float64, silently flipping low bits of every mapped id
+    (ADVICE r3). The bad row drops; every surviving id stays exact."""
+    import pyarrow as pa
+
+    from raykg.core.canonical import node_id, normalize_surface
+    from raykg.stages.graph import partial_edges
+
+    assert normalize_surface("!!!") == ""  # the poison surface
+    batch = pa.table({
+        "subj": ["Quasar Dynamics Ltd", "!!!", "Quasar Dynamics Ltd"],
+        "pred": ["works_at", "works_at", "works_at"],
+        "obj": ["Nebular Trust", "Nebular Trust", "???"],
+        "url": ["u1", "u2", "u3"],
+    })
+    out = partial_edges(batch)
+    # only the fully-valid row survives
+    assert len(out) == 1 and int(out["weight"].iloc[0]) == 1
+    assert out["src"].dtype == "int64" and out["dst"].dtype == "int64"
+    # ids are EXACT (float64 round-trip would corrupt >2^53 ids)
+    assert int(out["src"].iloc[0]) == node_id(
+        normalize_surface("Quasar Dynamics Ltd"))
+    assert int(out["dst"].iloc[0]) == node_id(
+        normalize_surface("Nebular Trust"))
+
+
+def test_prefilter_empty_patterns(ray_session):
+    """RelationConfig(patterns=[]) is a harmless no-op, not a crash
+    (ADVICE r3: prefilter() returned None and extract_triples raised)."""
+    from raykg.core.decode import Mention
+    from raykg.core.relations import RelationConfig, extract_triples
+
+    cfg = RelationConfig(patterns=[])
+    assert cfg.prefilter().search("Alice works at Acme Corp.") is None
+    ments = [Mention("Alice", "person", 0.9, 0, 5),
+             Mention("Acme Corp", "organization", 0.9, 15, 24)]
+    assert extract_triples("Alice works at Acme Corp.", ments, cfg) == []
+
+
 def test_alias_components(ray_session):
     """CC machinery on crafted near-dup surfaces (the corpus itself resolves
     corporate variants at normalize time, so exercise CC directly)."""
