@@ -419,3 +419,84 @@ def test_asof_join_matches_merge_asof(ray_session):
         .reset_index(drop=True)
     want["prev_view_id"] = want["prev_view_id"].astype("int64")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pair_join_distributed_byte_equal(ray_session, monkeypatch):
+    """VERDICT r3 #1: forcing the beyond-budget distributed pair-join path
+    (RAYKG_PAIR_MEMBERS_BUDGET=0) yields byte-identical pairs to the
+    broadcast-dict fast path for both minhash and embedding-LSH, and the
+    driver never ray.puts anything pair-shaped (only the fixed-size Bloom
+    ndarray)."""
+    import ray
+    import ray.data as rd
+
+    from raykg.functions.dedup import embedding_pairs_lsh, minhash_pairs
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = {}
+    for i in range(60):
+        words = list(rng.choice(vocab, size=70))
+        texts[i] = " ".join(words)
+        dup = list(words)
+        for j in rng.choice(len(dup), size=4, replace=False):
+            dup[j] = str(rng.choice(vocab))
+        texts[1000 + i] = " ".join(dup)
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[k] for k in texts]}))
+
+    base = rng.standard_normal((50, 24))
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(1000 + i, v + rng.standard_normal(24) * 0.02)
+             for i, v in enumerate(base)]
+    embs = rd.from_pandas(pd.DataFrame({
+        "vec_id": [i for i, _ in rows],
+        "embedding": [v.astype(np.float32) for _, v in rows]}))
+
+    mh_fast = minhash_pairs(docs, jaccard_threshold=0.5).to_pandas() \
+        .reset_index(drop=True)
+    el_fast = embedding_pairs_lsh(embs, threshold=0.9).to_pandas() \
+        .reset_index(drop=True)
+    assert len(mh_fast) > 0 and len(el_fast) > 0
+
+    monkeypatch.setenv("RAYKG_PAIR_MEMBERS_BUDGET", "0")
+    put_shapes: list[type] = []
+    real_put = ray.put
+
+    def spy_put(obj, **kw):
+        put_shapes.append(type(obj))
+        return real_put(obj, **kw)
+
+    monkeypatch.setattr(ray, "put", spy_put)
+    mh_dist = minhash_pairs(docs, jaccard_threshold=0.5).to_pandas() \
+        .reset_index(drop=True)
+    el_dist = embedding_pairs_lsh(embs, threshold=0.9).to_pandas() \
+        .reset_index(drop=True)
+    monkeypatch.setattr(ray, "put", real_put)
+
+    pd.testing.assert_frame_equal(mh_fast, mh_dist)
+    pd.testing.assert_frame_equal(el_fast, el_dist)
+    # the dedup module itself puts only the Bloom ndarray, never the pair
+    # dict (ray.data internals may put their own non-dict plumbing)
+    assert np.ndarray in put_shapes
+    assert dict not in put_shapes and list not in put_shapes
+
+
+def test_bloom_no_false_negatives():
+    from raykg.functions.dedup import (_bloom_add, _bloom_contains,
+                                       _bloom_positions)
+
+    rng = np.random.default_rng(17)
+    ids = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    m_bits = 1 << 20
+    bloom = np.zeros(m_bits // 64, dtype=np.uint64)
+    _bloom_add(bloom, ids, m_bits)
+    assert _bloom_contains(bloom, ids, m_bits).all()
+    others = rng.integers(0, 2**63, size=5000, dtype=np.int64) \
+        .astype(np.uint64)
+    fresh = others[~np.isin(others, ids)]
+    fp = _bloom_contains(bloom, fresh, m_bits).mean()
+    assert fp < 0.01, fp
+    # positions stay within the bitmap
+    for pos in _bloom_positions(ids, m_bits):
+        assert int(pos.max()) < m_bits
