@@ -213,7 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deduplication
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
+        "dedup_minhash_md5": dedup.q_dedup_minhash_md5,
         "dedup_simhash": dedup.q_dedup_simhash,
+        "dedup_simhash_md5": dedup.q_dedup_simhash_md5,
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "dedup_embedding": dedup.q_dedup_embedding,
         # similarity search
@@ -243,7 +245,9 @@ def oracle_sql() -> dict[str, str]:
         "content_hash": textstats.SQL_CONTENT_HASH,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_minhash": dedup.SQL_DEDUP_MINHASH,
+        "dedup_minhash_md5": dedup.SQL_DEDUP_MINHASH_MD5,
         "dedup_simhash": dedup.SQL_DEDUP_SIMHASH,
+        "dedup_simhash_md5": dedup.SQL_DEDUP_SIMHASH_MD5,
         "ngram_jaccard": dedup.SQL_NGRAM_JACCARD,
         "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
         "knn": similarity.SQL_KNN,

@@ -63,6 +63,105 @@ def _perm_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+# -- vectorized fast string hash (VERDICT r3 #2) ----------------------------
+#
+# The md5 ``_hash64`` pays a Python hashlib call PER SHINGLE — the one
+# code-level cost behind the dedup_minhash bench regression. The fast mode
+# below hashes every shingle of a whole batch in a handful of numpy kernels
+# (one utf-32 decode + segmented Horner + splitmix-style finalizer) and is
+# still bit-reproducible in DuckDB (``_sql_fast64_cols``), so it gets its
+# own oracle rather than weakening the md5 one. Hash mode is selected per
+# query: ``*_md5`` queries keep the md5 sketch.
+
+_FAST_P = np.uint64(1099511628211)              # FNV-64 prime
+_MIX_C1 = np.uint64(0xFF51AFD7ED558CCD)         # murmur3 fmix64 constants
+_MIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """fmix64 finalizer, vectorized, wraparound mod 2^64."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(33))) * _MIX_C1
+        x = (x ^ (x >> np.uint64(33))) * _MIX_C2
+        return x ^ (x >> np.uint64(33))
+
+
+def _fast_hash64_many(strings: list[str]) -> np.ndarray:
+    """64-bit hash of each string: Horner polynomial (FNV prime) over
+    UTF-32 code points mod 2^64 + fmix64, all vectorized — zero per-string
+    Python. Inputs must be non-empty and NUL-free (word tokens / shingles
+    are). Bit-identical to the DuckDB staging in ``_sql_fast64_cols``.
+
+    Internally chunked (~400k code points ≈ 3 MB working set) so the
+    intermediates stay allocator-reused instead of mmap-churned — with 32
+    Ray workers each hashing a whole batch, fresh multi-MB allocations per
+    call are page-fault-bound, not compute-bound."""
+    if not strings:
+        return np.zeros(0, dtype=np.uint64)
+    if len(strings) > 1:
+        total = sum(len(s) for s in strings)
+        if total > 400_000:
+            n_chunks = -(-total // 400_000)
+            step = -(-len(strings) // n_chunks)
+            return np.concatenate([
+                _fast_hash64_many(strings[i:i + step])
+                for i in range(0, len(strings), step)])
+    joined = "\x00".join(strings)
+    codes = np.frombuffer(joined.encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.uint64)
+    seps = np.flatnonzero(codes == 0)
+    starts = np.concatenate([[0], seps + 1]).astype(np.int64)
+    ends = np.concatenate([seps, [len(codes)]]).astype(np.int64)
+    g = np.arange(len(codes), dtype=np.int64)
+    expo = ends[np.searchsorted(ends, g, side="left")] - 1 - g
+    maxlen = int((ends - starts).max())
+    pw = np.ones(max(maxlen, 1), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(1, maxlen):
+            pw[k] = pw[k - 1] * _FAST_P
+        t = codes * pw[np.clip(expo, 0, None)]   # expo=-1 only at NULs...
+        t[codes == 0] = 0                        # ...which contribute 0
+        return _mix64(np.add.reduceat(t, starts))
+
+
+_SQL_M64 = "18446744073709551616::UHUGEINT"
+
+
+def _sql_fast64_cols(char_expr: str, final_as: str = "fh") -> str:
+    """Staged lateral SELECT columns reproducing ``_fast_hash64_many``
+    bit-for-bit for one VARCHAR expression (DuckDB resolves prior aliases
+    in the same SELECT list). Final UBIGINT column is named ``final_as``."""
+    return f"""
+      CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+             [CAST(unicode(c) AS UHUGEINT) FOR c IN string_split({char_expr}, '')]),
+           (acc, c) -> (acc * 1099511628211 + c) % {_SQL_M64}) AS UBIGINT) AS fh0,
+      xor(fh0, fh0 >> 33) AS fx0,
+      CAST((CAST(fx0 AS UHUGEINT) * 18397679294719823053::UHUGEINT) % {_SQL_M64} AS UBIGINT) AS fx1,
+      xor(fx1, fx1 >> 33) AS fx2,
+      CAST((CAST(fx2 AS UHUGEINT) * 14181476777654086739::UHUGEINT) % {_SQL_M64} AS UBIGINT) AS fx3,
+      xor(fx3, fx3 >> 33) AS {final_as}"""
+
+
+def _sql_fast64_list_cols(list_expr: str, final_as: str = "fh") -> str:
+    """Same finalized Horner, but over a list of UHUGEINT values (the band
+    hash over 4 signature rows) instead of code points."""
+    return f"""
+      CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT), {list_expr}),
+           (acc, c) -> (acc * 1099511628211 + c) % {_SQL_M64}) AS UBIGINT) AS fh0,
+      xor(fh0, fh0 >> 33) AS fx0,
+      CAST((CAST(fx0 AS UHUGEINT) * 18397679294719823053::UHUGEINT) % {_SQL_M64} AS UBIGINT) AS fx1,
+      xor(fx1, fx1 >> 33) AS fx2,
+      CAST((CAST(fx2 AS UHUGEINT) * 14181476777654086739::UHUGEINT) % {_SQL_M64} AS UBIGINT) AS fx3,
+      xor(fx3, fx3 >> 33) AS {final_as}"""
+
+
+def _hash_mode(explicit: str | None) -> str:
+    mode = explicit or os.environ.get("RAYKG_HASH_MODE", "fast")
+    if mode not in ("fast", "md5"):
+        raise ValueError(f"unknown hash mode {mode!r}")
+    return mode
+
+
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
     sh = _shingles(text)
     if not sh:
@@ -345,7 +444,60 @@ FROM documents GROUP BY 1 ORDER BY h
 
 # -- MinHash + LSH near-dup -------------------------------------------------
 
-def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42):
+def _minhash_bands_fast(batch: pa.Table, a: np.ndarray,
+                        b: np.ndarray) -> pa.Table:
+    """Whole-batch vectorized sketch: ONE `_fast_hash64_many` call over
+    every shingle in the batch, per-doc signature mins via
+    ``np.minimum.reduceat``, band hashes via a Horner fold over the 4
+    signature rows — no per-shingle (or even per-doc) Python hashing."""
+    all_sh: list[str] = []
+    starts: list[int] = []
+    docs: list[int] = []
+    for did, text in zip(batch.column("doc_id").to_pylist(),
+                         batch.column("text").to_pylist()):
+        sh = _shingles(text)
+        if not sh:
+            continue
+        docs.append(did)
+        starts.append(len(all_sh))
+        all_sh.extend(sh)
+    if not docs:
+        return pa.table({"band": pa.array([], pa.int32()),
+                         "bandhash": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
+    x = _fast_hash64_many(all_sh)
+    # permute+min in doc-aligned chunks of ~4k shingles: hs stays ~2 MB
+    # (cache/allocator-friendly); one (K, n_batch) outer product would be
+    # >100 MB of fresh pages per batch and page-fault-bound across workers
+    starts_np = np.asarray(starts, dtype=np.int64)
+    bounds = np.concatenate([starts_np, [len(all_sh)]])
+    sig_chunks = []
+    lo = 0
+    with np.errstate(over="ignore"):
+        while lo < len(docs):
+            hi = int(np.searchsorted(bounds, bounds[lo] + 4096, "left"))
+            hi = min(max(hi, lo + 1), len(docs))
+            xs = x[bounds[lo]:bounds[hi]]
+            hs = a[:, None] * xs[None, :] + b[:, None]   # (K, ≤~4k)
+            sig_chunks.append(np.minimum.reduceat(
+                hs, starts_np[lo:hi] - bounds[lo], axis=1).T)
+            lo = hi
+    sigs = np.concatenate(sig_chunks)                    # (n_docs, K)
+    seg = sigs.reshape(len(docs), MINHASH_BANDS, MINHASH_K // MINHASH_BANDS)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(seg.shape[:2], dtype=np.uint64)
+        for r in range(seg.shape[2]):
+            acc = acc * _FAST_P + seg[:, :, r]
+    bh = (_mix64(acc) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    band_ids = np.tile(np.arange(MINHASH_BANDS, dtype=np.int32), len(docs))
+    doc_ids = np.repeat(np.asarray(docs, dtype=np.int64), MINHASH_BANDS)
+    return pa.table({"band": pa.array(band_ids, pa.int32()),
+                     "bandhash": pa.array(bh.reshape(-1), pa.int64()),
+                     "doc_id": pa.array(doc_ids, pa.int64())})
+
+
+def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42,
+                  hash_mode: str | None = None):
     """documents Dataset → verified near-dup pairs (a, b, jaccard).
 
     shingle → minhash → band → bucket groupby → candidate pairs →
@@ -353,12 +505,20 @@ def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42):
     DISTRIBUTED bucketed join: pair-side rows and candidate docs'
     shingle-hash lists are co-located by doc_id, then regrouped by pair —
     no whole-corpus broadcast (the only driver-side object is the candidate
-    pair-membership map, which is small by construction; Jaccard over 64-bit
-    shingle hashes equals Jaccard over shingles up to md5-64 collisions)."""
+    pair-membership map, which is small by construction and sharded past a
+    budget; Jaccard over 64-bit shingle hashes equals Jaccard over shingles
+    up to 64-bit collisions).
+
+    ``hash_mode``: "fast" (default; vectorized polynomial+fmix64 sketch,
+    oracle SQL_DEDUP_MINHASH) or "md5" (per-shingle md5, oracle
+    SQL_DEDUP_MINHASH_MD5)."""
+    mode = _hash_mode(hash_mode)
     a, b = _perm_params(MINHASH_K, seed)
     rows_per_band = MINHASH_K // MINHASH_BANDS
 
     def bands(batch: pa.Table) -> pa.Table:
+        if mode == "fast":
+            return _minhash_bands_fast(batch, a, b)
         out_band, out_hash, out_doc = [], [], []
         for did, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
@@ -399,9 +559,12 @@ def minhash_pairs(docs_ds, jaccard_threshold: float = 0.5, seed: int = 42):
 
     def shingle_payload(batch: pa.Table, i: int) -> list[int]:
         # int64-safe low 63 bits (the mask is injective on the drawn hashes
-        # up to the same md5-64 collision bound)
-        return [_hash64(s) & 0x7FFFFFFFFFFFFFFF
-                for s in _shingles(batch.column("text")[i].as_py())]
+        # up to the same 64-bit collision bound)
+        sh = _shingles(batch.column("text")[i].as_py())
+        if mode == "fast":
+            return (_fast_hash64_many(list(sh))
+                    & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).tolist()
+        return [_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in sh]
 
     def jaccard_score(pa_payload, pb_payload) -> float | None:
         j = jaccard(set(pa_payload), set(pb_payload))
@@ -419,7 +582,15 @@ def q_dedup_minhash(sf_dir: str):
     import ray.data as rd
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_pairs(docs)
+    return minhash_pairs(docs, hash_mode="fast")
+
+
+def q_dedup_minhash_md5(sf_dir: str):
+    """md5-sketch parity mode (the round-1..3 canonical variant)."""
+    import ray.data as rd
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_pairs(docs, hash_mode="md5")
 
 
 def _sql_md5_64(expr: str) -> str:
@@ -438,7 +609,84 @@ def _sql_perm_values() -> str:
 # uint64 overflow. Every stage — shingling, signature, band hashing, bucket
 # pairing with the 500-doc skew guard, exact-Jaccard verification over
 # 63-bit-masked shingle hashes — mirrors minhash_pairs() exactly.
+#
+# FAST mode (default): shingle hash = Horner/fmix64 over code points
+# (reproducing _fast_hash64_many), band hash = the same fold over the 4
+# signature values.
 SQL_DEDUP_MINHASH = f"""
+WITH perms AS (
+  SELECT * FROM (VALUES {_sql_perm_values()}) AS t(k, a, b)
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tl
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tl, i, i + 2), ' ') AS s
+  FROM (SELECT doc_id, tl, unnest(generate_series(1, len(tl) - 2)) AS i
+        FROM toks WHERE len(tl) >= 3)
+  UNION
+  SELECT doc_id, array_to_string(tl, ' ') AS s
+  FROM toks WHERE len(tl) BETWEEN 1 AND 2
+),
+shh AS (
+  SELECT DISTINCT doc_id, fh AS h FROM (
+    SELECT doc_id, {_sql_fast64_cols('s')}
+    FROM sh)
+),
+sig AS (
+  SELECT doc_id, p.k,
+         min((p.a * h::UHUGEINT + p.b) % 18446744073709551616::UHUGEINT)
+           ::UBIGINT AS sigv
+  FROM shh CROSS JOIN perms p GROUP BY doc_id, p.k
+),
+bands AS (
+  SELECT doc_id, k // 4 AS band,
+         list(sigv::UHUGEINT ORDER BY k) AS seg
+  FROM sig GROUP BY doc_id, k // 4
+),
+bandrows AS (
+  SELECT doc_id, band, (fh & 9223372036854775807)::BIGINT AS bandhash FROM (
+    SELECT doc_id, band, {_sql_fast64_list_cols('seg')}
+    FROM bands)
+),
+bsize AS (
+  SELECT band, bandhash, count(DISTINCT doc_id) AS n
+  FROM bandrows GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandrows x
+  JOIN bandrows y USING (band, bandhash)
+  JOIN bsize s USING (band, bandhash)
+  WHERE x.doc_id < y.doc_id AND s.n BETWEEN 2 AND 500
+),
+doc_sh AS (
+  SELECT DISTINCT doc_id, (h & 9223372036854775807)::BIGINT AS h63 FROM shh
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS ninter
+  FROM cand c
+  JOIN doc_sh da ON da.doc_id = c.a
+  JOIN doc_sh db ON db.doc_id = c.b AND db.h63 = da.h63
+  GROUP BY c.a, c.b
+),
+scored AS (
+  SELECT c.a, c.b,
+         coalesce(i.ninter, 0)::DOUBLE
+           / (sa.n + sb.n - coalesce(i.ninter, 0)) AS j
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON sa.doc_id = c.a
+  JOIN sizes sb ON sb.doc_id = c.b
+)
+SELECT a, b, floor(j * 1000000 + 0.5) / 1000000 AS jaccard
+FROM scored WHERE j >= 0.5 ORDER BY a, b
+"""
+
+
+SQL_DEDUP_MINHASH_MD5 = f"""
 WITH perms AS (
   SELECT * FROM (VALUES {_sql_perm_values()}) AS t(k, a, b)
 ),
@@ -531,10 +779,31 @@ def simhash64(text: str) -> int:
     return int(((acc > 0).astype(np.uint64) << _BIT_POS).sum(dtype=np.uint64))
 
 
-def simhash_pairs(docs_ds, max_hamming: int = 3):
+def simhash64_fast(text: str) -> int:
+    """simhash64 with the vectorized polynomial token hash: one
+    ``_fast_hash64_many`` call for the doc's distinct tokens, one (n,64)
+    bit matmul — no per-token Python hashing. Oracle: SQL_DEDUP_SIMHASH."""
+    from collections import Counter
+
+    counts = Counter(_word_tokens(text))
+    if not counts:
+        return 0
+    x = _fast_hash64_many(list(counts.keys()))
+    cnt = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    bits = ((x[:, None] >> _BIT_POS[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << _BIT_POS).sum(dtype=np.uint64))
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3, hash_mode: str | None = None):
     """SimHash near-dup pairs via chunk LSH (pigeonhole: hamming ≤ 3 over 4
-    chunks ⇒ at least one 16-bit chunk identical) + exact hamming verify."""
+    chunks ⇒ at least one 16-bit chunk identical) + exact hamming verify.
+    ``hash_mode`` picks the token hash: "fast" (default, vectorized) or
+    "md5" (per-token md5 parity mode)."""
     import pandas as pd
+
+    mode = _hash_mode(hash_mode)
+    sig_of = simhash64_fast if mode == "fast" else simhash64
 
     def sketch(batch: pa.Table) -> pa.Table:
         out_chunk, out_val, out_doc, out_sig = [], [], [], []
@@ -544,7 +813,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                 continue      # token-less doc: no sketch (mirrors the
                               # minhash shingle-less skip AND the SQL
                               # oracle, whose toks CTE emits no rows)
-            sig = simhash64(text)
+            sig = sig_of(text)
             for c in range(_SIMHASH_BANDS):
                 out_chunk.append(c)
                 out_val.append((sig >> (16 * c)) & 0xFFFF)
@@ -588,14 +857,69 @@ def q_dedup_simhash(sf_dir: str):
     import ray.data as rd
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(docs)
+    return simhash_pairs(docs, hash_mode="fast")
 
 
-# SimHash + chunk-LSH in SQL, mirroring simhash_pairs(): per-token md5-64
-# bit columns weighted by term count, sign → 64-bit signature, 16-bit chunk
-# buckets (full signature, bit 63 included) with the 500-doc skew guard,
-# exact hamming over the low-63-bit signatures.
+def q_dedup_simhash_md5(sf_dir: str):
+    """md5-token-hash parity mode (the round-1..3 canonical variant)."""
+    import ray.data as rd
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(docs, hash_mode="md5")
+
+
+# SimHash + chunk-LSH in SQL, mirroring simhash_pairs(): per-token 64-bit
+# hash bit columns weighted by term count, sign → 64-bit signature, 16-bit
+# chunk buckets (full signature, bit 63 included) with the 500-doc skew
+# guard, exact hamming over the low-63-bit signatures. FAST token hash
+# (default mode) here; md5 variant below.
 SQL_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+tokh AS (
+  SELECT doc_id, fh AS h, cnt FROM (
+    SELECT doc_id, cnt, {_sql_fast64_cols('tok')}
+    FROM toks)
+),
+bitsum AS (
+  SELECT doc_id, p.p,
+         sum(CASE WHEN (h >> p.p) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p) p
+  GROUP BY doc_id, p.p
+),
+sigs AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN ((1::UBIGINT << p))::HUGEINT
+                  ELSE 0 END)::UBIGINT AS sig
+  FROM bitsum GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id,
+         (sig & 9223372036854775807::UBIGINT)::BIGINT AS sig63,
+         c.c AS chunk,
+         ((sig >> (16 * c.c)) & 65535)::INT AS val
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c
+),
+bsize AS (
+  SELECT chunk, val, count(DISTINCT doc_id) AS n FROM chunks GROUP BY 1, 2
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.sig63, y.sig63))::BIGINT AS hamming
+FROM chunks x
+JOIN chunks y USING (chunk, val)
+JOIN bsize s USING (chunk, val)
+WHERE x.doc_id < y.doc_id AND s.n BETWEEN 2 AND 500
+  AND bit_count(xor(x.sig63, y.sig63)) <= 3
+ORDER BY a, b
+"""
+
+
+SQL_DEDUP_SIMHASH_MD5 = f"""
 WITH toks AS (
   SELECT doc_id, tok, count(*) AS cnt
   FROM (SELECT doc_id,

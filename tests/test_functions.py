@@ -162,11 +162,13 @@ def test_embedding_exact_multiblock(ray_session):
     assert len(one) > 0
 
 
-def test_simhash_vs_bruteforce(ray_session):
+@pytest.mark.parametrize("hash_mode", ["fast", "md5"])
+def test_simhash_vs_bruteforce(ray_session, hash_mode):
     import ray.data as rd
 
-    from raykg.functions.dedup import simhash64, simhash_pairs
+    from raykg.functions.dedup import simhash64, simhash64_fast, simhash_pairs
 
+    sig_of = simhash64_fast if hash_mode == "fast" else simhash64
     rng = np.random.default_rng(11)
     vocab = [f"t{i}" for i in range(150)]
     texts = {i: " ".join(rng.choice(vocab, size=60)) for i in range(40)}
@@ -174,7 +176,7 @@ def test_simhash_vs_bruteforce(ray_session):
         base = texts[i].split()
         base[0] = "zzz"
         texts[2000 + i] = " ".join(base)
-    sigs = {k: simhash64(t) for k, t in texts.items()}
+    sigs = {k: sig_of(t) for k, t in texts.items()}
     ids = sorted(sigs)
     MASK63 = (1 << 63) - 1
     expected = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
@@ -182,7 +184,7 @@ def test_simhash_vs_bruteforce(ray_session):
     docs = rd.from_pandas(pd.DataFrame({
         "doc_id": list(texts), "text": [texts[k] for k in texts]}))
     got = {(int(a), int(b)) for a, b in
-           simhash_pairs(docs, max_hamming=3)
+           simhash_pairs(docs, max_hamming=3, hash_mode=hash_mode)
            .to_pandas()[["a", "b"]].itertuples(index=False)}
     assert expected
     # chunk-LSH guarantees recall 1.0 for hamming ≤ 3 over 4×16-bit chunks
@@ -500,3 +502,30 @@ def test_bloom_no_false_negatives():
     # positions stay within the bitmap
     for pos in _bloom_positions(ids, m_bits):
         assert int(pos.max()) < m_bits
+
+
+def test_fast_hash64_duckdb_parity():
+    """_fast_hash64_many must be bit-identical to its inline DuckDB
+    reproduction (_sql_fast64_cols) — the fast sketch's oracle anchor —
+    including through the internal ~400k-code-point chunking."""
+    import duckdb
+
+    from raykg.functions.dedup import _fast_hash64_many, _sql_fast64_cols
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+    strings = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 6))))
+               for _ in range(200)]
+    strings += ["a", "0", "z_9", "x" * 300]
+    got = _fast_hash64_many(strings)
+    # force the chunked path too: same values, split differently
+    big = strings * 800                      # ~1M chars → multiple chunks
+    got_big = _fast_hash64_many(big)
+    assert (got_big[:len(strings)] == got).all()
+    assert (got_big.reshape(800, len(strings)) == got[None, :]).all()
+
+    rows = duckdb.sql(
+        f"SELECT s, fh FROM (SELECT s, {_sql_fast64_cols('s')} "
+        "FROM (SELECT unnest(?) AS s))", params=[strings]).fetchall()
+    want = {s: h for s, h in rows}
+    assert all(int(g) == want[s] for s, g in zip(strings, got))
