@@ -91,6 +91,163 @@ def entry() -> Any:
     return _kg("/root/testdata/sf0.001")["edges"]
 
 
+# -- KG-tail oracle dump (VERDICT r3 #3) -------------------------------------
+#
+# kg_label_report / kg_nodes / kg_edges are deterministic GROUP/AGG/JOIN
+# functions of the pipeline's own intermediates. The query callables dump
+# those intermediates (mention rows, triple rows, the surface→norm/node-id
+# map, the alias CC map — i.e. every model-scored / hashed / iterative
+# piece, all ENGINE outputs) to a fixed path; the oracle SQL consumes the
+# dump and re-derives the tail with pure relational operators. That turns
+# three formerly no_oracle rows into full rows+schema+hash checks without
+# pretending SQL can score a model.
+
+_ORACLE_DUMP = "/tmp/raykg_oracle_dump"
+_dump_for: list[str] = []
+
+
+def _dump_kg_tail(sf_dir: str) -> None:
+    if _dump_for and _dump_for[0] == sf_dir:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raykg.core.canonical import surface_key
+
+    os.makedirs(_ORACLE_DUMP, exist_ok=True)
+    mentions = _kg_mentions(sf_dir).to_pandas()[["text", "label"]]
+    triples = _kg_triples(sf_dir).to_pandas()[["subj", "pred", "obj"]]
+    surfaces = sorted(set(mentions["text"]) | set(triples["subj"])
+                      | set(triples["obj"]))
+    keys = [surface_key(s) for s in surfaces]
+    am = _kg(sf_dir)["alias_map"]
+    pq.write_table(pa.Table.from_pandas(mentions, preserve_index=False),
+                   f"{_ORACLE_DUMP}/mentions.parquet")
+    pq.write_table(pa.Table.from_pandas(triples, preserve_index=False),
+                   f"{_ORACLE_DUMP}/triples.parquet")
+    pq.write_table(pa.table({
+        "text": pa.array(surfaces, pa.string()),
+        "norm": pa.array([k[0] for k in keys], pa.string()),
+        "node_id": pa.array([k[1] for k in keys], pa.int64())}),
+        f"{_ORACLE_DUMP}/norms.parquet")
+    pq.write_table(pa.table({
+        "node": pa.array(sorted(am), pa.int64()),
+        "root": pa.array([am[k] for k in sorted(am)], pa.int64())}),
+        f"{_ORACLE_DUMP}/aliasmap.parquet")
+    _dump_for[:] = [sf_dir]
+
+
+SQL_KG_LABEL_REPORT = f"""
+WITH m AS (SELECT text, label
+           FROM read_parquet('{_ORACLE_DUMP}/mentions.parquet')),
+d AS (SELECT DISTINCT label, text FROM m)
+SELECT label, count(*)::BIGINT AS n_distinct,
+       array_to_string(list_slice(list(text ORDER BY text), 1, 50), '|')
+         AS surfaces
+FROM d GROUP BY label ORDER BY label
+"""
+
+
+# kg_nodes tail re-derivation. Pre-merge node rows are per-norm aggregates
+# of the mention rows (label = argmax by (count, label); aliases = the 16
+# lexicographically-smallest distinct surfaces — a min-k semilattice, so it
+# is a pure function of the rows; mention_count = row count). Alias-merged
+# rows then follow canonicalize._remerge_nodes exactly: canonical = winner
+# by (mention_count DESC, canonical ASC); label = vote over pre-winner
+# labels weighted by pre mention_count (ties to the larger label); aliases
+# = (union of pre alias lists ∪ pre canonicals) minus the winner, capped at
+# 16. Unaffected nodes never pass through the re-merge (so a surface equal
+# to its own norm stays listed) — mirrored by the affected-set split.
+SQL_KG_NODES = f"""
+WITH m AS (SELECT text, label
+           FROM read_parquet('{_ORACLE_DUMP}/mentions.parquet')),
+n AS (SELECT text, norm, node_id
+      FROM read_parquet('{_ORACLE_DUMP}/norms.parquet')),
+am AS (SELECT node, root
+       FROM read_parquet('{_ORACLE_DUMP}/aliasmap.parquet')),
+mn AS (SELECT m.text, m.label, n.norm, n.node_id
+       FROM m JOIN n USING (text) WHERE n.norm <> ''),
+pre_cnt AS (SELECT norm, any_value(node_id) AS node_id,
+                   count(*)::BIGINT AS mention_count
+            FROM mn GROUP BY norm),
+lab_cnt AS (SELECT norm, label, count(*) AS c FROM mn GROUP BY norm, label),
+pre_lab AS (SELECT norm, label FROM (
+    SELECT norm, label,
+           row_number() OVER (PARTITION BY norm
+                              ORDER BY c DESC, label DESC) AS rn
+    FROM lab_cnt) WHERE rn = 1),
+dtexts AS (SELECT DISTINCT norm, text FROM mn),
+pre_alias AS (SELECT norm,
+                     list_slice(list(text ORDER BY text), 1, 16) AS aliases
+              FROM dtexts GROUP BY norm),
+pre AS (SELECT p.norm AS canonical, p.node_id, p.mention_count,
+               l.label, a.aliases
+        FROM pre_cnt p JOIN pre_lab l USING (norm)
+        JOIN pre_alias a USING (norm)),
+affected AS (SELECT node FROM am UNION SELECT root FROM am),
+untouched AS (
+  SELECT node_id, canonical, label,
+         array_to_string(aliases, '|') AS aliases, mention_count
+  FROM pre WHERE node_id NOT IN (SELECT node FROM affected)),
+aff AS (
+  SELECT coalesce(am.root, pre.node_id) AS final_id, pre.*
+  FROM pre LEFT JOIN am ON am.node = pre.node_id
+  WHERE pre.node_id IN (SELECT node FROM affected)),
+winner AS (SELECT final_id, canonical FROM (
+    SELECT final_id, canonical,
+           row_number() OVER (PARTITION BY final_id
+                              ORDER BY mention_count DESC, canonical ASC)
+             AS rn
+    FROM aff) WHERE rn = 1),
+mlab AS (SELECT final_id, label FROM (
+    SELECT final_id, label,
+           row_number() OVER (PARTITION BY final_id
+                              ORDER BY sum(mention_count) DESC, label DESC)
+             AS rn
+    FROM aff GROUP BY final_id, label) WHERE rn = 1),
+mcnt AS (SELECT final_id, sum(mention_count)::BIGINT AS mention_count
+         FROM aff GROUP BY final_id),
+alias_pool AS (
+  SELECT DISTINCT final_id, a FROM (
+    SELECT final_id, unnest(aliases) AS a FROM aff
+    UNION ALL
+    SELECT final_id, canonical AS a FROM aff)),
+malias AS (
+  SELECT p.final_id,
+         array_to_string(list_slice(list(p.a ORDER BY p.a), 1, 16), '|')
+           AS aliases
+  FROM alias_pool p JOIN winner w
+    ON w.final_id = p.final_id AND p.a <> w.canonical
+  GROUP BY p.final_id),
+merged AS (
+  SELECT w.final_id AS node_id, w.canonical, ml.label,
+         coalesce(ma.aliases, '') AS aliases, mc.mention_count
+  FROM winner w JOIN mlab ml USING (final_id) JOIN mcnt mc USING (final_id)
+  LEFT JOIN malias ma USING (final_id))
+SELECT * FROM untouched UNION ALL SELECT * FROM merged ORDER BY node_id
+"""
+
+
+SQL_KG_EDGES = f"""
+WITH t AS (SELECT subj, pred, obj
+           FROM read_parquet('{_ORACLE_DUMP}/triples.parquet')),
+n AS (SELECT text, norm, node_id
+      FROM read_parquet('{_ORACLE_DUMP}/norms.parquet')),
+am AS (SELECT node, root
+       FROM read_parquet('{_ORACLE_DUMP}/aliasmap.parquet')),
+r AS (
+  SELECT coalesce(ams.root, ns.node_id) AS src, t.pred,
+         coalesce(amo.root, nb.node_id) AS dst
+  FROM t
+  JOIN n ns ON ns.text = t.subj AND ns.norm <> ''
+  JOIN n nb ON nb.text = t.obj AND nb.norm <> ''
+  LEFT JOIN am ams ON ams.node = ns.node_id
+  LEFT JOIN am amo ON amo.node = nb.node_id)
+SELECT src, pred, dst, count(*)::BIGINT AS weight
+FROM r GROUP BY src, pred, dst ORDER BY src, pred, dst
+"""
+
+
 # -- KG pipeline queries (non-SQL; pytest parity gates cover correctness) ---
 
 def _kg_mentions(sf_dir: str):
@@ -102,11 +259,31 @@ def _kg_triples(sf_dir: str):
 
 
 def _kg_nodes(sf_dir: str):
-    return _kg(sf_dir)["nodes"]
+    """Canonicalized + alias-merged nodes. For the driver compare the
+    aliases list is projected to a '|'-joined string (list-column
+    stringification differs between Arrow and DuckDB result frames); the
+    pipeline parquet keeps the real list column."""
+    import pandas as pd
+
+    _dump_kg_tail(sf_dir)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["aliases"] = ["|".join(a) for a in df["aliases"]]
+        return df
+
+    return _kg(sf_dir)["nodes"].map_batches(proj, batch_format="pandas")
 
 
 def _kg_edges(sf_dir: str):
-    return _kg(sf_dir)["edges"]
+    """Aggregated alias-resolved edges, projected to (src, pred, dst,
+    weight). The ``urls`` provenance column is a bounded per-block SAMPLE
+    (graph.py module docstring) — deliberately block-dependent, so it is
+    excluded from the oracle-compared projection (the pipeline parquet
+    keeps it)."""
+    _dump_kg_tail(sf_dir)
+    return _kg(sf_dir)["edges"].select_columns(["src", "pred", "dst",
+                                                "weight"])
 
 
 def _kg_links(sf_dir: str):
@@ -133,13 +310,15 @@ def _kg_label_report(sf_dir: str):
 
     from raykg.stages.shuffle import bucketed_group_apply
 
+    _dump_kg_tail(sf_dir)
+
     def report(df: pd.DataFrame) -> pd.DataFrame:
         rows = {"label": [], "n_distinct": [], "surfaces": []}
         for label, g in df.groupby("label", sort=True):
             distinct = sorted(set(g["text"]))
             rows["label"].append(label)
             rows["n_distinct"].append(len(distinct))
-            rows["surfaces"].append(distinct[:50])
+            rows["surfaces"].append("|".join(distinct[:50]))
         return pd.DataFrame(rows)
 
     return bucketed_group_apply(_kg_mentions(sf_dir), ["label"], report,
@@ -229,6 +408,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # KG tail — group/agg/join over the engine's own dumped
+        # intermediates (see _dump_kg_tail)
+        "kg_label_report": SQL_KG_LABEL_REPORT,
+        "kg_nodes": SQL_KG_NODES,
+        "kg_edges": SQL_KG_EDGES,
         "lineitem_agg": relational.SQL_LINEITEM_AGG,
         "mktsegment_orders": relational.SQL_MKTSEGMENT_ORDERS,
         "orders_monthly": relational.SQL_ORDERS_MONTHLY,
