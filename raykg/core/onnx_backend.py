@@ -100,11 +100,25 @@ class OnnxBackend:
         return word_embs, prompts
 
     def _encode(self, enc: SchemaEncoding) -> np.ndarray:
-        ids = enc.input_ids[None, :].astype(np.int64)
-        mask = np.ones_like(ids)
+        return self._encode_batch([enc])[0]      # (S, H)
+
+    def _encode_batch(self, encs: list[SchemaEncoding]) -> list[np.ndarray]:
+        """ONE padded (B, S) encoder session call for a whole batch — the
+        reference's own TODO (GLiNER2.swift:178-179) and SURVEY §7.4's
+        promise. Sequences pad to the batch max with the vocab [PAD] id and
+        a zeroed attention mask; per-doc hidden states slice back to their
+        true lengths, so downstream heads never see pad positions."""
+        pad = self.tokenizer.sp.pad
+        s_max = max(len(e.input_ids) for e in encs)
+        ids = np.full((len(encs), s_max), pad, dtype=np.int64)
+        mask = np.zeros((len(encs), s_max), dtype=np.int64)
+        for i, e in enumerate(encs):
+            ids[i, :len(e.input_ids)] = e.input_ids
+            mask[i, :len(e.input_ids)] = 1
         (hidden,) = self.sessions["encoder"].run(
             None, {"input_ids": ids, "attention_mask": mask})
-        return np.asarray(hidden)[0]             # (S, H)
+        hidden = np.asarray(hidden)
+        return [hidden[i, :len(e.input_ids)] for i, e in enumerate(encs)]
 
     def _p_embedding(self, hidden: np.ndarray) -> np.ndarray:
         """[P] marker embedding — the count predictor's ONLY input
@@ -123,49 +137,81 @@ class OnnxBackend:
 
     def span_scores(self, enc: SchemaEncoding,
                     threshold: float | None = None):
-        if len(enc.span_widths) and \
-                int(np.max(enc.span_widths)) >= self.max_span_width:
-            raise ValueError(
-                f"encoding uses span widths up to "
-                f"{int(np.max(enc.span_widths)) + 1} but the manifest's "
-                f"span_rep head was traced with max_width "
-                f"{self.max_span_width} — encode with the manifest's width")
-        hidden = self._encode(enc)
-        word_embs = hidden[enc.word_first_subword]
-        prompt_embs = self._prompt_embs(hidden, enc)
+        return self.span_scores_batch([enc], threshold)[0]
+
+    def span_scores_batch(self, encs: list[SchemaEncoding],
+                          threshold: float | None = None):
+        """True batched (B, S) inference — VERDICT r3 #4 / the reference's
+        own TODO (GLiNER2.swift:178-179): ONE padded encoder call, ONE
+        (B, H) count-predictor call, and ONE padded span_rep call per
+        BATCH, not per document. ``count_embed`` stays per-doc: its
+        label_embeddings input is traced without a batch dimension and the
+        label count varies per schema. Element-wise identical to the
+        single-doc path (pytest-pinned)."""
+        if not encs:
+            return []
+        for enc in encs:
+            if len(enc.span_widths) and \
+                    int(np.max(enc.span_widths)) >= self.max_span_width:
+                raise ValueError(
+                    f"encoding uses span widths up to "
+                    f"{int(np.max(enc.span_widths)) + 1} but the manifest's "
+                    f"span_rep head was traced with max_width "
+                    f"{self.max_span_width} — encode with the manifest's "
+                    "width")
+        hiddens = self._encode_batch(encs)
+        p_embs = np.stack([self._p_embedding(h) for h in hiddens])
         (count_logits,) = self.sessions["count_predictor"].run(
-            None, {"prompt_embeddings":
-                   self._p_embedding(hidden)[None].astype(np.float32)})
+            None, {"prompt_embeddings": p_embs.astype(np.float32)})
+        count_logits = np.asarray(count_logits).reshape(len(encs), -1)
         from .scorer import SurrogateBackend
 
-        predicted = SurrogateBackend.argmax_count(
-            np.asarray(count_logits).ravel(), self.manifest.max_count)
-        n_labels = len(enc.entity_labels)
-        if predicted == 0 or len(enc.words) == 0:
-            return np.empty((0, n_labels)), enc
-        (structure,) = self.sessions["count_embed"].run(
-            None, {"label_embeddings": prompt_embs.astype(np.float32)})
-        # prefix-trim to predictedCount (GLiNER2SpanPipeline.swift:117-123);
-        # instance 0 is what the span scorer consumes
-        structure = np.asarray(structure)[:predicted]
-        labels = structure[0]                    # (L, H)
-        # full (S, W) grid span_idx — ends clamped to the last word, exactly
-        # the shape the exported head was traced with; invalid (start+width
-        # >= S) grid cells are never read because gathering below uses the
-        # VALID span plan only
-        s_words = len(enc.words)
+        predicted = [SurrogateBackend.argmax_count(row,
+                                                   self.manifest.max_count)
+                     for row in count_logits]
+        results: list = [None] * len(encs)
+        active = []
+        for i, enc in enumerate(encs):
+            if predicted[i] == 0 or len(enc.words) == 0:
+                results[i] = (np.empty((0, len(enc.entity_labels))), enc)
+            else:
+                active.append(i)
+        if not active:
+            return results
+        # full (S, W) grid span_idx per doc — ends clamped to the doc's
+        # last word, padded to the batch word max (pad rows index word 0;
+        # never read, the gather below uses each doc's VALID span plan)
         w_max = self.max_span_width
-        grid_start = np.repeat(np.arange(s_words, dtype=np.int64), w_max)
-        grid_end = np.minimum(grid_start
-                              + np.tile(np.arange(w_max, dtype=np.int64),
-                                        s_words), s_words - 1)
-        span_idx = np.stack([grid_start, grid_end], axis=1)
+        h_dim = hiddens[active[0]].shape[1]
+        sw_max = max(len(encs[i].words) for i in active)
+        tok = np.zeros((len(active), sw_max, h_dim), dtype=np.float32)
+        idx = np.zeros((len(active), sw_max * w_max, 2), dtype=np.int64)
+        for j, i in enumerate(active):
+            enc = encs[i]
+            s_words = len(enc.words)
+            tok[j, :s_words] = hiddens[i][enc.word_first_subword]
+            grid_start = np.repeat(np.arange(s_words, dtype=np.int64), w_max)
+            grid_end = np.minimum(
+                grid_start + np.tile(np.arange(w_max, dtype=np.int64),
+                                     s_words), s_words - 1)
+            idx[j, :s_words * w_max] = np.stack([grid_start, grid_end],
+                                                axis=1)
         (span_embs,) = self.sessions["span_rep"].run(
-            None, {"token_embeddings": word_embs[None].astype(np.float32),
-                   "span_idx": span_idx[None]})
-        grid = np.asarray(span_embs).reshape(s_words, w_max, -1)   # (S, W, H)
-        flat = grid[enc.span_starts, enc.span_widths]              # (n_spans, H)
-        return flat @ np.asarray(labels).T, enc
+            None, {"token_embeddings": tok, "span_idx": idx})
+        span_embs = np.asarray(span_embs)
+        for j, i in enumerate(active):
+            enc = encs[i]
+            prompt_embs = self._prompt_embs(hiddens[i], enc)
+            (structure,) = self.sessions["count_embed"].run(
+                None, {"label_embeddings": prompt_embs.astype(np.float32)})
+            # prefix-trim to predictedCount (GLiNER2SpanPipeline.swift:
+            # 117-123); instance 0 is what the span scorer consumes
+            structure = np.asarray(structure)[:predicted[i]]
+            labels = structure[0]                # (L, H)
+            grid = span_embs[j].reshape(sw_max, w_max, -1)     # (S, W, H)
+            flat = grid[enc.span_starts, enc.span_widths]      # (n_spans, H)
+            results[i] = (flat @ np.asarray(labels).T, enc)
+        return results
 
     # -- A3 + M13: classification ----------------------------------------
     def classify(self, text: str, labels: list[str], multi_label: bool = False,

@@ -787,3 +787,113 @@ def test_onnx_backend_mocked_session_dataflow(tmp_path):
     multi = b.classify("hello lo", ["hello", "lo"], multi_label=True,
                        threshold=0.0)
     assert all(0.0 <= sc <= 1.0 for _, sc in multi)
+
+
+def test_onnx_backend_batched_sessions(tmp_path):
+    """VERDICT r3 #4: span_scores_batch pads a whole batch to (B, S) and
+    makes ONE encoder, ONE count-predictor and ONE span_rep session call
+    per BATCH (count_embed stays per-doc — traced without a batch dim),
+    with output element-wise identical to the per-doc path."""
+    import json
+
+    import numpy as np
+
+    from raykg.core.onnx_backend import OnnxBackend
+    from raykg.core.tokenizer import encode_schema
+
+    H, W, MAXC = 4, 3, 5
+
+    tdir = tmp_path / "tokenizer"
+    tdir.mkdir()
+    vocab = [["[UNK]", -10.0], ["[PAD]", 0.0], ["[CLS]", 0.0], ["[SEP]", 0.0],
+             ["▁", -2.0], ["a", -3.0], ["b", -3.0], ["c", -3.0], ["(", -3.0],
+             [")", -3.0], ["▁a", -2.5], ["▁b", -2.5], ["▁c", -2.5],
+             ["e", -3.0], ["n", -3.0], ["t", -3.0], ["i", -3.0], ["s", -3.0],
+             ["▁e", -2.5], ["▁(", -2.5], ["▁)", -2.5]]
+    (tdir / "tokenizer.json").write_text(json.dumps(
+        {"model": {"type": "Unigram", "unk_id": 0, "vocab": vocab}}))
+    (tdir / "added_tokens.json").write_text(json.dumps(
+        {"[P]": 103, "[E]": 105, "[C]": 104, "[SEP_TEXT]": 102}))
+    mp = tmp_path / "manifest.json"
+    mp.write_text(json.dumps({
+        "model_id": "mock", "max_seq_len": 64, "max_schema_tokens": 32,
+        "max_width": W, "hidden_size": H, "max_count": MAXC,
+        "artifacts": {k: f"{k}.onnx" for k in
+                      ("encoder", "span_rep", "classifier",
+                       "count_predictor", "count_embed")},
+        "tokenizer_dir": "tokenizer"}))
+
+    def fake_hidden(ids):
+        return np.stack([[((t * (j + 1)) % 11) / 10.0 for j in range(H)]
+                         for t in ids]).astype(np.float32)
+
+    def make_backend():
+        feeds: dict[str, list] = {k: [] for k in
+                                  ("encoder", "span_rep", "classifier",
+                                   "count_predictor", "count_embed")}
+
+        class FakeSession:
+            def __init__(self, head):
+                self.head = head
+
+            def run(self, _out, inputs):
+                feeds[self.head].append({k: np.asarray(v)
+                                         for k, v in inputs.items()})
+                if self.head == "encoder":
+                    ids = np.asarray(inputs["input_ids"])      # (B, S)
+                    return (np.stack([fake_hidden(row) for row in ids]),)
+                if self.head == "span_rep":
+                    tok = np.asarray(inputs["token_embeddings"])  # (B, Sw, H)
+                    idx = np.asarray(inputs["span_idx"])          # (B, Sw*W, 2)
+                    b, sw, _ = tok.shape
+                    rows = np.stack([tok[i][idx[i][:, 0]]
+                                     + 2.0 * tok[i][idx[i][:, 1]]
+                                     for i in range(b)])
+                    return (rows.reshape(b, sw, W, H),)
+                if self.head == "count_predictor":
+                    b = np.asarray(inputs["prompt_embeddings"]).shape[0]
+                    return (np.tile(np.arange(MAXC + 1, dtype=np.float32),
+                                    (b, 1)),)
+                if self.head == "count_embed":
+                    lab = np.asarray(inputs["label_embeddings"])
+                    return (np.stack([lab * (c + 1.0)
+                                      for c in range(MAXC)]),)
+                raise AssertionError(self.head)
+
+        import os
+
+        be = OnnxBackend(str(mp), session_factory=lambda p: FakeSession(
+            os.path.basename(p).split(".")[0]))
+        return be, feeds
+
+    labels = ["a", "b"]
+    texts = ["a", "a b c", "b c a b"]
+
+    be1, _ = make_backend()
+    singles = [be1.span_scores(encode_schema(t, labels, be1.tokenizer, W))
+               for t in texts]
+
+    be2, feeds = make_backend()
+    encs = [encode_schema(t, labels, be2.tokenizer, W) for t in texts]
+    batched = be2.span_scores_batch(encs)
+
+    # one call per BATCH for the batchable heads; per doc for count_embed
+    assert len(feeds["encoder"]) == 1
+    assert len(feeds["count_predictor"]) == 1
+    assert len(feeds["span_rep"]) == 1
+    assert len(feeds["count_embed"]) == len(texts)
+    # the encoder feed is padded to the batch max with [PAD] + zero mask
+    ids = feeds["encoder"][0]["input_ids"]
+    mask = feeds["encoder"][0]["attention_mask"]
+    s_max = max(len(e.input_ids) for e in encs)
+    assert ids.shape == (len(texts), s_max)
+    pad_id = be2.tokenizer.sp.pad
+    for i, e in enumerate(encs):
+        n = len(e.input_ids)
+        assert (ids[i, :n] == e.input_ids).all()
+        assert (ids[i, n:] == pad_id).all()
+        assert mask[i, :n].all() and not mask[i, n:].any()
+    # element-wise identical to the per-doc path
+    for (ls, es), (lb, eb) in zip(singles, batched):
+        assert np.allclose(ls, lb)
+        assert (es.input_ids == eb.input_ids).all()
