@@ -529,3 +529,37 @@ def test_fast_hash64_duckdb_parity():
         "FROM (SELECT unnest(?) AS s))", params=[strings]).fetchall()
     want = {s: h for s, h in rows}
     assert all(int(g) == want[s] for s, g in zip(strings, got))
+
+
+def test_boilerplate_guarded_join_byte_equal(ray_session):
+    """VERDICT r3 #6: forcing the beyond-budget path (budget_rows=0) on a
+    high-distinct-line corpus with planted boilerplate yields byte-identical
+    (doc_id, clean_text, n_removed) to the broadcast-frozenset path."""
+    import ray.data as rd
+
+    from raykg.functions.textstats import remove_boilerplate
+
+    rng = np.random.default_rng(23)
+    header, footer = "SITE NAV | home | about", "(c) example footer"
+    texts = {}
+    for i in range(80):
+        body = "\n".join(f"unique line {i} {j} {rng.integers(1e9)}"
+                         for j in range(12))
+        # plant boilerplate on most docs, include empty lines in some
+        if i % 4 != 3:
+            body = f"{header}\n{body}\n\n{footer}"
+        texts[i] = body
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[k] for k in texts]})) \
+        .materialize()
+
+    fast = remove_boilerplate(docs, min_docs=5).to_pandas() \
+        .reset_index(drop=True)
+    joined = remove_boilerplate(docs, min_docs=5, budget_rows=0) \
+        .to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, joined)
+    # the planted boilerplate really was removed, bodies survive intact
+    assert (fast["n_removed"] > 0).sum() == sum(1 for i in texts
+                                                if i % 4 != 3)
+    assert header not in fast["clean_text"].iloc[0]
+    assert "unique line 0 0" in fast["clean_text"].iloc[0]
