@@ -243,16 +243,146 @@ def _records_to_pages(records, default_lang: str = "en"):
         yield flush()
 
 
-def read_warc_splits(units: list[dict]):
-    """CC-index work units → pages Dataset (VERDICT r2 #6, the scale path).
+_GZ_MAGIC = b"\x1f\x8b\x08"
+_VERIFY_BYTES = 512
 
-    Each unit is ``{"path": str, "offset": int, "length": int}`` — the shape
-    the Common Crawl index publishes (every record is its own gzip member at
-    a known offset/length, so a unit decodes independently). One task per
-    unit: seek to offset, stream at most ``length`` compressed bytes through
-    the member-at-a-time decoder, emit bounded pages blocks. ``length`` ≤ 0 /
-    missing means "to EOF" (whole-file unit). Per-task memory is
-    O(read chunk + one record), never O(file)."""
+
+def _find_member_start(f, offset: int, end: int | None) -> int | None:
+    """Scan raw bytes from ``offset`` for the next VERIFIED gzip member
+    start. The magic triple can occur INSIDE compressed data, so each
+    candidate is checked by actually decompressing a little and requiring
+    the output to open with ``WARC/``. Returns the absolute offset, or
+    None when no member starts in [offset, end). Bounded memory: a sliding
+    window of ~2 read chunks."""
+    f.seek(offset)
+    window = bytearray()
+    win_start = offset
+    scanned = 0
+    eof = False
+    while True:
+        while not eof and len(window) < scanned + _READ_CHUNK:
+            chunk = f.read(_READ_CHUNK)
+            if not chunk:
+                eof = True
+            else:
+                window.extend(chunk)
+        i = window.find(_GZ_MAGIC, scanned)
+        if i < 0:
+            if eof:
+                return None
+            keep = len(_GZ_MAGIC) - 1
+            drop = len(window) - keep
+            if drop > 0:
+                del window[:drop]
+                win_start += drop
+            scanned = 0
+            continue
+        ab = win_start + i
+        if end is not None and ab >= end:
+            return None
+        while not eof and len(window) < i + _VERIFY_BYTES:
+            chunk = f.read(_READ_CHUNK)
+            if not chunk:
+                eof = True
+            else:
+                window.extend(chunk)
+        d = zlib.decompressobj(wbits=31)
+        try:
+            probe = d.decompress(bytes(window[i:i + _VERIFY_BYTES]), 16)
+        except zlib.error:
+            probe = b""
+        if probe.startswith(b"WARC/"):
+            return ab
+        scanned = i + 1
+
+
+def _iter_gzip_members(f, start: int):
+    """Yield (member_start_abs, decompressed_bytes) member-at-a-time from
+    absolute offset ``start`` (must be a member boundary). A final member
+    truncated by EOF is dropped. Memory: one member + one read chunk."""
+    f.seek(start)
+    raw = b""
+    abs0 = start                       # absolute offset of raw[0]
+    while True:
+        d = zlib.decompressobj(wbits=31)
+        out = bytearray()
+        mstart = abs0
+        while not d.eof:
+            if not raw:
+                raw = f.read(_READ_CHUNK)
+                if not raw:
+                    return             # EOF (mid-member = truncated, drop)
+            out.extend(d.decompress(raw))
+            consumed = len(raw) - len(d.unused_data)
+            abs0 += consumed
+            raw = d.unused_data
+        yield mstart, bytes(out)
+
+
+def _iter_gzip_records_ranged(f, offset: int, end: int | None):
+    """Arbitrary byte-range split over a .warc.gz: yields every record
+    whose gzip member STARTS in [offset, end) — the classic split-reader
+    contract (a record belongs to the split holding its first byte; the
+    reader resyncs past a mid-member ``offset`` and reads PAST ``end`` only
+    to finish a record already begun), so ANY set of cut points partitions
+    a file exactly, no CC index required (property-tested against the
+    whole-file read). Bounded memory: one member + one record."""
+    start = offset if offset == 0 else _find_member_start(f, offset, end)
+    if start is None or (end is not None and start >= end):
+        return
+    buf = bytearray()
+    pos = 0
+    base = 0                   # decompressed offset of buf[0]
+    range_end_decomp = None    # decompressed size of the in-range members
+
+    def eff_start() -> int:
+        # a record's true start skips inter-record CRLF padding — the
+        # boundary tests must use it, or a CRLF-only tail would drag the
+        # overflow member's first record into this split (double count)
+        e = pos
+        while buf[e:e + 2] == _CRLF:
+            e += 2
+        return e
+
+    for mstart, data in _iter_gzip_members(f, start):
+        if end is not None and mstart >= end:
+            if range_end_decomp is None:
+                range_end_decomp = base + len(buf)
+            if eff_start() >= len(buf):    # nothing mid-parse: done
+                return
+        buf.extend(data)
+        while True:
+            if range_end_decomp is not None and \
+                    base + eff_start() >= range_end_decomp:
+                return                     # next record starts out of range
+            got = _try_parse_record(buf, pos)
+            if got is None:
+                break
+            headers, payload, npos = got
+            if headers is _BAD:
+                return
+            yield headers, payload
+            pos = npos
+        if range_end_decomp is not None and eff_start() >= len(buf):
+            return                         # pending record completed
+        if pos:
+            base += pos
+            del buf[:pos]
+            pos = 0
+
+
+def read_warc_splits(units: list[dict]):
+    """Byte-range work units → pages Dataset (VERDICT r2 #6, the scale
+    path).
+
+    Each unit is ``{"path": str, "offset": int, "length": int}``. For
+    .warc.gz inputs the offsets may be ARBITRARY cut points — CC-index
+    record units (every record its own member at a known offset/length)
+    and index-free even splits of a huge file both decode exactly, via the
+    member-resync reader above. Plain-WARC units must start on record
+    boundaries (no resync marker exists in the uncompressed stream).
+    ``length`` ≤ 0 / missing means "to EOF" (whole-file unit). One task per
+    unit; per-task memory is O(read chunk + one record), never O(file)."""
     import ray.data as rd
 
     def parse(batch: pa.Table):
@@ -261,10 +391,17 @@ def read_warc_splits(units: list[dict]):
                                         batch.column("offset").to_pylist(),
                                         batch.column("length").to_pylist()):
             with open(path, "rb") as f:
-                if offset:
-                    f.seek(offset)
-                limit = length if length and length > 0 else None
-                for tbl in _records_to_pages(iter_warc_records(f, limit)):
+                gz = f.read(2) == b"\x1f\x8b"
+                f.seek(0)
+                if gz:
+                    end = offset + length if length and length > 0 else None
+                    records = _iter_gzip_records_ranged(f, offset, end)
+                else:
+                    if offset:
+                        f.seek(offset)
+                    limit = length if length and length > 0 else None
+                    records = iter_warc_records(f, limit)
+                for tbl in _records_to_pages(records):
                     empty = False
                     yield tbl
         if empty:
@@ -280,15 +417,20 @@ def read_warc_splits(units: list[dict]):
                                             batch_size=1)
 
 
-def read_warc(paths: list[str] | str):
-    """WARC file(s) → pages Dataset: one streaming read task per file
-    (whole-file units through the byte-range reader — same bounded-memory
-    path; S-source for the KG pipeline:
-    ``extract_stage(read_warc([...]))``). With a CC index in hand, call
-    ``read_warc_splits`` directly for intra-file parallelism."""
-    if isinstance(paths, str):
-        import os
+def read_warc(paths: list[str] | str, split_bytes: int | None = None):
+    """WARC file(s) → pages Dataset (S-source for the KG pipeline:
+    ``extract_stage(read_warc([...]))``).
 
+    Default: one streaming read task per file (whole-file units through
+    the byte-range reader — same bounded-memory path). ``split_bytes``
+    cuts each .warc.gz into even byte ranges for INDEX-FREE intra-file
+    parallelism — the member-resync reader makes arbitrary cut points
+    exact, so a single 1-GiB CC segment fans out across the cluster with
+    no sidecar index. With a CC index in hand, call ``read_warc_splits``
+    directly."""
+    import os
+
+    if isinstance(paths, str):
         if os.path.isdir(paths):
             # regular files only: a CC dump dir can hold subdirectories
             # and index sidecars that are not WARC payloads
@@ -297,7 +439,18 @@ def read_warc(paths: list[str] | str):
                      if os.path.isfile(p)]
         else:
             paths = [paths]
-    return read_warc_splits([{"path": p} for p in paths])
+    units = []
+    for p in paths:
+        size = os.path.getsize(p)
+        with open(p, "rb") as f:
+            gz = f.read(2) == b"\x1f\x8b"
+        if split_bytes and gz and size > split_bytes:
+            units.extend({"path": p, "offset": o,
+                          "length": min(split_bytes, size - o)}
+                         for o in range(0, size, split_bytes))
+        else:
+            units.append({"path": p})
+    return read_warc_splits(units)
 
 
 # -- synthetic WARC writer (tests / fixtures) -------------------------------

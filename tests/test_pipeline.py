@@ -822,3 +822,25 @@ def test_resume_invalidates_on_semantic_change(ray_session, tmp_path):
                          labels=["person", "organization"])
     assert not os.path.exists(orphan)
     assert s3["stages"]["extract"]["shards_skipped"] == n_shards
+
+
+def test_warc_index_free_even_splits(ray_session, tmp_path):
+    """read_warc(split_bytes=...) fans a .warc.gz out over even byte
+    ranges with NO index — the member-resync reader makes the arbitrary
+    cut points exact (VERDICT r3 #8 scale path)."""
+    import os
+
+    from raykg.sources.pages import make_page_row
+    from raykg.sources.warc import read_warc, write_warc
+
+    rows = [make_page_row(i, "index free split body", "en")
+            for i in range(40)]
+    gz = str(tmp_path / "seg.warc.gz")
+    write_warc(gz, rows, compress=True)
+    size = os.path.getsize(gz)
+    whole = read_warc([gz]).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    split = read_warc(gz, split_bytes=size // 7).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, split)
+    assert len(split) == 40

@@ -131,3 +131,55 @@ def test_unigram_vocab_viterbi_covers(text):
             assert s[pos:pos + len(t)] == t
             pos += len(t)
     assert pos == len(s)
+
+
+# -- WARC byte-range split partition property (VERDICT r3 #8) ----------------
+
+_warc_cache: dict = {}
+
+
+def _warc_fixture():
+    """One deterministic 20-record per-member .warc.gz, built once."""
+    if not _warc_cache:
+        import os
+        import tempfile
+
+        from raykg.sources.pages import make_page_row
+        from raykg.sources.warc import write_warc
+
+        rows = [make_page_row(i, "körper текст 北京 body filler", "en")
+                for i in range(20)]
+        fd, path = tempfile.mkstemp(suffix=".warc.gz")
+        os.close(fd)
+        try:
+            write_warc(path, rows, compress=True)
+            with open(path, "rb") as f:
+                data = f.read()
+        finally:
+            os.unlink(path)
+        _warc_cache["data"] = data
+        _warc_cache["urls"] = [r["url"] for r in rows]
+    return _warc_cache["data"], _warc_cache["urls"]
+
+
+@given(st.lists(st.integers(1, 10**9), min_size=1, max_size=6))
+@settings(max_examples=80, deadline=None)
+def test_warc_arbitrary_cuts_partition(raw_cuts):
+    """ANY set of byte cut points — including ones bisecting gzip members
+    and record heads — partitions a .warc.gz exactly: the union of the
+    ranged reads equals the whole-file read, each record exactly once, in
+    file order (a record belongs to the split holding its member's first
+    byte)."""
+    import io
+
+    from raykg.sources.warc import _iter_gzip_records_ranged
+
+    data, urls = _warc_fixture()
+    cuts = sorted({1 + c % (len(data) - 1) for c in raw_cuts})
+    bounds = [0] + cuts + [len(data)]
+    got = []
+    for a, b in zip(bounds, bounds[1:]):
+        got.extend(h["warc-target-uri"]
+                   for h, _ in _iter_gzip_records_ranged(io.BytesIO(data),
+                                                         a, b))
+    assert got == urls
