@@ -897,3 +897,50 @@ def test_onnx_backend_batched_sessions(tmp_path):
     for (ls, es), (lb, eb) in zip(singles, batched):
         assert np.allclose(ls, lb)
         assert (es.input_ids == eb.input_ids).all()
+
+
+def test_schema_relation_list_markers():
+    """[R]/[L] prompt kinds (GLiNER2PromptConfiguration.swift:19-20 — the
+    reference defines them without exercising them; this pins the repo
+    twin): encode_schema emits the relation/list markers for kinds 'R'/'L'
+    with both the synthetic vocab and a real tokenizer.json, and markers
+    absent from a real vocab raise instead of colliding."""
+    import json
+
+    import pytest as _pytest
+
+    from raykg.core.tokenizer import (L_ID, R_ID, WordTokenizer,
+                                      encode_schema)
+
+    tok = WordTokenizer(seed=42)
+    enc = encode_schema("alice knows bob", ["knows", "friends"], tok,
+                        max_span_width=4, kinds=["R", "L"])
+    ids = enc.input_ids.tolist()
+    assert ids.count(R_ID) == 1 and ids.count(L_ID) == 1
+    assert ids.index(R_ID) < ids.index(L_ID)        # prompt order preserved
+    assert enc.prompt_kinds == ["R", "L"]
+    # per-label prompt ranges still cover the label pieces after the marker
+    assert len(enc.prompt_ranges) == 2
+    assert all(b > a for a, b in enc.prompt_ranges)
+
+    # real vocab: resolved from added_tokens, absence raises
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tdir:
+        vocab = [["[UNK]", -10.0], ["[PAD]", 0.0], ["[CLS]", 0.0],
+                 ["[SEP]", 0.0], ["▁", -2.0], ["a", -3.0], ["▁a", -2.5],
+                 ["(", -3.0], [")", -3.0], ["▁(", -2.5], ["▁)", -2.5],
+                 ["e", -3.0], ["n", -3.0], ["t", -3.0], ["i", -3.0],
+                 ["s", -3.0], ["▁e", -2.5]]
+        with open(f"{tdir}/tokenizer.json", "w") as f:
+            json.dump({"model": {"type": "Unigram", "unk_id": 0,
+                                 "vocab": vocab}}, f)
+        with open(f"{tdir}/added_tokens.json", "w") as f:
+            json.dump({"[P]": 900, "[E]": 901, "[SEP_TEXT]": 902,
+                       "[R]": 903}, f)
+        rtok = WordTokenizer(seed=42, vocab_dir=tdir)
+        renc = encode_schema("a", ["a"], rtok, max_span_width=2,
+                             kinds=["R"])
+        assert renc.input_ids.tolist().count(903) == 1
+        with _pytest.raises(ValueError, match="'l'"):
+            encode_schema("a", ["a"], rtok, max_span_width=2, kinds=["L"])
