@@ -115,12 +115,35 @@ def _dump_kg_tail(sf_dir: str) -> None:
     from raykg.core.canonical import surface_key
 
     os.makedirs(_ORACLE_DUMP, exist_ok=True)
-    mentions = _kg_mentions(sf_dir).to_pandas()[["text", "label"]]
+    mentions = _kg_mentions(sf_dir).to_pandas()      # full mention rows
     triples = _kg_triples(sf_dir).to_pandas()[["subj", "pred", "obj"]]
     surfaces = sorted(set(mentions["text"]) | set(triples["subj"])
                       | set(triples["obj"]))
     keys = [surface_key(s) for s in surfaces]
-    am = _kg(sf_dir)["alias_map"]
+    d = _kg(sf_dir)
+    am = d["alias_map"]
+    # linking inputs: the engine's own (deterministic) embeddings for the
+    # distinct mention texts and the catalog rows IN CATALOG ORDER — the
+    # SQL oracle re-derives the cosine-argmax link decision relationally
+    from raykg.core.canonical import SurfaceEmbedder
+    from raykg.stages.link import build_catalog
+
+    cat = build_catalog(d["nodes"])
+    qtexts = sorted(set(mentions["text"]))
+    qemb = SurfaceEmbedder(cat["seed"]).embed_many(qtexts) \
+        .astype("float32") if qtexts else None
+    pq.write_table(pa.table({
+        "text": pa.array(qtexts, pa.string()),
+        "emb": pa.array([list(map(float, v)) for v in qemb]
+                        if qemb is not None else [],
+                        pa.list_(pa.float64()))}),
+        f"{_ORACLE_DUMP}/link_queries.parquet")
+    pq.write_table(pa.table({
+        "pos": pa.array(range(len(cat["node_ids"])), pa.int64()),
+        "node_id": pa.array(cat["node_ids"], pa.int64()),
+        "emb": pa.array([list(map(float, v)) for v in cat["emb"]],
+                        pa.list_(pa.float64()))}),
+        f"{_ORACLE_DUMP}/catalog.parquet")
     pq.write_table(pa.Table.from_pandas(mentions, preserve_index=False),
                    f"{_ORACLE_DUMP}/mentions.parquet")
     pq.write_table(pa.Table.from_pandas(triples, preserve_index=False),
@@ -228,6 +251,34 @@ SELECT * FROM untouched UNION ALL SELECT * FROM merged ORDER BY node_id
 """
 
 
+# Linking re-derivation: entity_id = catalog argmax by dot product over the
+# engine's own (dumped) embeddings, ties to the lower catalog position —
+# exactly LinkerActor's numpy argmax on stable catalog order; negative best
+# similarity leaves the mention unlinked (-1), mirroring min_score=0.0.
+# link_score is excluded from the compared projection: the engine
+# accumulates it in float32, SQL in float64, and the 6-decimal hash
+# rounding can land on opposite sides of the f32 ulp.
+SQL_KG_LINKS = f"""
+WITH m AS (SELECT * FROM read_parquet('{_ORACLE_DUMP}/mentions.parquet')),
+q AS (SELECT text, emb FROM read_parquet('{_ORACLE_DUMP}/link_queries.parquet')),
+c AS (SELECT pos, node_id, emb
+      FROM read_parquet('{_ORACLE_DUMP}/catalog.parquet')),
+sims AS (
+  SELECT q.text, c.node_id, c.pos, list_dot_product(q.emb, c.emb) AS sim
+  FROM q CROSS JOIN c),
+best AS (
+  SELECT text, node_id, sim FROM (
+    SELECT text, node_id, sim,
+           row_number() OVER (PARTITION BY text
+                              ORDER BY sim DESC, pos ASC) AS rn
+    FROM sims) WHERE rn = 1)
+SELECT m.doc_id, m.url, m.text, m.label, m.score, m.start, m."end",
+       CASE WHEN b.sim >= 0 THEN b.node_id ELSE -1 END AS entity_id
+FROM m JOIN best b USING (text)
+ORDER BY m.doc_id, m.start
+"""
+
+
 SQL_KG_EDGES = f"""
 WITH t AS (SELECT subj, pred, obj
            FROM read_parquet('{_ORACLE_DUMP}/triples.parquet')),
@@ -287,7 +338,13 @@ def _kg_edges(sf_dir: str):
 
 
 def _kg_links(sf_dir: str):
-    return _kg(sf_dir)["links"]
+    """Linked mentions, projected without ``link_score`` for the oracle
+    compare (f32 vs f64 dot-product accumulation straddles the 6-decimal
+    rounding; the pipeline parquet keeps the score column)."""
+    _dump_kg_tail(sf_dir)
+    cols = ["doc_id", "url", "text", "label", "score", "start", "end",
+            "entity_id"]
+    return _kg(sf_dir)["links"].select_columns(cols)
 
 
 def _kg_links_sharded(sf_dir: str):
@@ -420,6 +477,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_label_report": SQL_KG_LABEL_REPORT,
         "kg_nodes": SQL_KG_NODES,
         "kg_edges": SQL_KG_EDGES,
+        # kg_links_sharded stays no_oracle by design: its LSH multi-probe
+        # candidate set is the approximation being tested (pytest pins it
+        # against the single-actor LSH path); a brute-force SQL argmax is
+        # only the oracle for the exact path below
+        "kg_links": SQL_KG_LINKS,
         "lineitem_agg": relational.SQL_LINEITEM_AGG,
         "mktsegment_orders": relational.SQL_MKTSEGMENT_ORDERS,
         "orders_monthly": relational.SQL_ORDERS_MONTHLY,
