@@ -329,7 +329,16 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
         os.path.join(extracts_dir, "**", "*.parquet"), recursive=True))
     n_cpus = int(_ray.cluster_resources().get("CPU", os.cpu_count() or 8))
     nb = max(1, min(len(extract_files), max(16, 2 * n_cpus)))
-    extracts = rd.read_parquet(extracts_dir, override_num_blocks=nb)
+    # Column-pruned + materialized ONCE: phase 2 runs two concurrent
+    # dataset executions (node path ∥ edge path, plus links) that would
+    # otherwise each re-read and re-decode the nested extracts parquet —
+    # measured as the dominant phase-2 cost at ×96/32. The projection
+    # drops `text` (no phase-2 consumer), so the plasma copy is the
+    # mention/triple payload only; at 100-TB scale the same projection
+    # rides the object store's spill path.
+    extracts = rd.read_parquet(
+        extracts_dir, columns=["doc_id", "url", "mentions", "triples"],
+        override_num_blocks=nb).materialize()
     mentions = extracts.map_batches(explode_mentions, batch_format="pyarrow", batch_size=None)
     triples = extracts.map_batches(explode_triples, batch_format="pyarrow", batch_size=None)
 

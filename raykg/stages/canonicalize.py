@@ -42,27 +42,39 @@ _MAX_ALIASES = 16
 
 def partial_canonical(batch: pa.Table, salts: int = DEFAULT_SALTS) -> pa.Table:
     """Combiner: mention rows → partial (norm, salt, count, label_counts_json,
-    aliases_json) rows. Runs inside map_batches; no shuffle yet."""
-    surfaces = batch.column("text").to_pylist()
-    labels = batch.column("label").to_pylist()
-    df = pd.DataFrame({"text": surfaces, "label": labels})
-    norm_map = {s: surface_key(s)[0] for s in pd.unique(df["text"])}
-    df["norm"] = df["text"].map(norm_map)
-    df = df[df["norm"] != ""]
+    aliases_json) rows. Runs inside map_batches; no shuffle yet.
+
+    Vectorized via dictionary encoding: the row axis stays int codes inside
+    Arrow/pandas; Python touches only the DISTINCT surfaces/labels (Zipf ⇒
+    few per block — row-level ``to_pylist`` was a top Python cost of the
+    canonicalize phase at ×96 scale)."""
+    from .graph import _dict_codes
+
+    t_codes, t_vals = _dict_codes(batch.column("text"))
+    l_codes, l_vals = _dict_codes(batch.column("label"))
+    norm_of = [surface_key(s)[0] for s in t_vals]       # distinct-level
+    import numpy as np
+
+    valid = np.array([n != "" for n in norm_of], dtype=bool)
+    mask = valid[t_codes] if len(t_codes) else np.zeros(0, dtype=bool)
+    df = pd.DataFrame({"t": t_codes[mask], "l": l_codes[mask]})
     acc: dict[str, tuple[int, dict, set]] = {}
-    # per-DISTINCT-key python: counts via vectorized groupbys
-    for norm, cnt in df.groupby("norm").size().items():
-        acc[norm] = (int(cnt), {}, set())
-    for (norm, label), cnt in df.groupby(["norm", "label"]).size().items():
-        acc[norm][1][label] = int(cnt)
-    # alias sample = lexicographically SMALLEST _MAX_ALIASES of the batch's
-    # distinct surfaces (trimmed at emit below): min-k is a semilattice, so
-    # every downstream min-k-of-union layer is independent of batch
-    # boundaries — a first-k sample in iteration order was not (ADVICE r1)
-    for norm, text in df[["norm", "text"]].drop_duplicates().itertuples(index=False):
-        acc[norm][2].add(text)
+    # per-DISTINCT-key python: counts via vectorized code groupbys
+    for (t, l), cnt in df.groupby(["t", "l"]).size().items():
+        norm = norm_of[t]
+        got = acc.get(norm)
+        if got is None:
+            got = acc[norm] = [0, {}, set()]
+        got[0] += int(cnt)
+        got[1][l_vals[l]] = got[1].get(l_vals[l], 0) + int(cnt)
+        # alias sample = lexicographically SMALLEST _MAX_ALIASES of the
+        # batch's distinct surfaces (trimmed at emit below): min-k is a
+        # semilattice, so every downstream min-k-of-union layer is
+        # independent of batch boundaries — a first-k sample in iteration
+        # order was not (ADVICE r1)
+        got[2].add(t_vals[t])
     norms = sorted(acc)
-    first = surfaces[0] if surfaces else ""
+    first = t_vals[t_codes[0]] if len(t_codes) else ""
     return pa.table({
         "norm": pa.array(norms, pa.string()),
         # salt spreads a hot key's partials across S groups; deterministic in

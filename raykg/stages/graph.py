@@ -29,38 +29,74 @@ from ..core.canonical import surface_key
 _MAX_URLS = 8
 
 
+def _dict_codes(col) -> tuple["np.ndarray", list]:
+    """Dictionary-encode an Arrow string column → (int codes per row,
+    distinct values). Per-row work stays in Arrow C++; Python only ever
+    touches the DISTINCT values (Zipf ⇒ few per block)."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    return (np.asarray(d.indices, dtype=np.int64),
+            d.dictionary.to_pylist())
+
+
 def partial_edges(batch: pa.Table, alias_map: dict[int, int] | None = None) -> pd.DataFrame:
     """Combiner: triple rows → partial (src, pred, dst, weight, url_sample)
-    rows — one per distinct edge per block, fully vectorized except the
-    distinct-surface id map (Zipf ⇒ few distinct per block)."""
+    rows — one per distinct edge per block. Vectorized end-to-end via
+    dictionary encoding: surface→id mapping, validity filtering and the
+    groupby all run on int codes; Python handles only the distinct
+    surfaces, and url strings materialize only for the ~one winner per
+    edge (the row-level ``to_pylist`` here was the top Python cost of the
+    graph phase at ×96 scale)."""
+    import numpy as np
+
     am = alias_map or {}
+    s_codes, s_vals = _dict_codes(batch.column("subj"))
+    o_codes, o_vals = _dict_codes(batch.column("obj"))
+    p_codes, p_vals = _dict_codes(batch.column("pred"))
+
+    def ids_of(vals: list) -> tuple[np.ndarray, np.ndarray]:
+        # ids only for valid (non-empty-norm) surfaces: canonicalize drops
+        # empty-norm surfaces, and dropping the matching endpoints here
+        # keeps edge→node referential integrity (an edge to node_id("")
+        # would dangle). Int64 end-to-end — a None in a pandas map dict
+        # float64-coerces the column and corrupts 63-bit ids (ADVICE r3).
+        ids = np.zeros(len(vals), dtype=np.int64)
+        ok = np.zeros(len(vals), dtype=bool)
+        for i, s in enumerate(vals):
+            norm, nid = surface_key(s)
+            if norm:
+                ids[i] = am.get(nid, nid)
+                ok[i] = True
+        return ids, ok
+
+    s_ids, s_ok = ids_of(s_vals)
+    o_ids, o_ok = ids_of(o_vals)
+    mask = s_ok[s_codes] & o_ok[o_codes]
+    idx = np.flatnonzero(mask)
     df = pd.DataFrame({
-        "subj": batch.column("subj").to_pylist(),
-        "pred": batch.column("pred").to_pylist(),
-        "obj": batch.column("obj").to_pylist(),
-        "url": batch.column("url").to_pylist(),
+        "src": s_ids[s_codes[idx]],
+        "_p": p_codes[idx],
+        "dst": o_ids[o_codes[idx]],
+        "_row": idx,                          # original row → 'first' url
     })
-    uniq = pd.unique(pd.concat([df["subj"], df["obj"]], ignore_index=True))
-    # idmap holds ONLY valid (non-empty-norm) surfaces so its values are all
-    # int: pandas coerces a dict with any None value to float64 internally,
-    # which silently corrupts 63-bit node ids (2**53 float mantissa). Rows
-    # whose endpoint is missing from idmap are dropped BEFORE mapping —
-    # canonicalize drops empty-norm surfaces, and dropping the matching
-    # endpoints here keeps edge→node referential integrity (an edge to
-    # node_id("") would dangle).
-    idmap: dict = {}
-    for s in uniq:
-        norm, nid = surface_key(s)
-        if norm:
-            idmap[s] = am.get(nid, nid)
-    df = df[df["subj"].isin(idmap) & df["obj"].isin(idmap)]
-    df = df.assign(src=df["subj"].map(idmap).astype("int64"),
-                   dst=df["obj"].map(idmap).astype("int64"))
-    keys = ["src", "pred", "dst"]
+    keys = ["src", "_p", "dst"]
     agg = df.groupby(keys, sort=False, as_index=False).agg(
-        weight=("url", "size"), url_sample=("url", "first"))
-    agg["weight"] = agg["weight"].astype("int64")
-    return agg
+        weight=("_row", "size"), _first=("_row", "first"))
+    url_col = batch.column("url")
+    if isinstance(url_col, pa.ChunkedArray):
+        url_col = url_col.combine_chunks()
+    out = pd.DataFrame({
+        "src": agg["src"].astype("int64"),
+        "pred": [p_vals[c] for c in agg["_p"]],
+        "dst": agg["dst"].astype("int64"),
+        "weight": agg["weight"].astype("int64"),
+        "url_sample": url_col.take(
+            pa.array(agg["_first"].to_numpy(), pa.int64())).to_pylist(),
+    })
+    return out
 
 
 def _merge_edge_bucket(df: pd.DataFrame) -> pd.DataFrame:

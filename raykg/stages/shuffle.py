@@ -45,7 +45,15 @@ def _with_bucket(batch: pd.DataFrame, keys: list[str], num_buckets: int) -> pd.D
 # take the bucketized shuffle and never touch the driver. Most callers feed
 # PRE-AGGREGATED partials (block combiners upstream), so at 100-TB scale
 # the row count is the distinct-key×block count, not the raw corpus.
-DRIVER_MERGE_BUDGET = 2_000_000
+#
+# Budget calibration (round 4): the single-threaded driver merge crosses
+# the distributed path's ~1.5s constant around 0.5M partial rows (measured
+# at ×96/32: 850k-row edge merge = 2.3-3.5s driver vs 1.4s distributed) —
+# and partial volume GROWS with block count ∝ cluster width, so an
+# over-generous budget silently serializes exactly the runs that have the
+# most CPUs idle. 400k keeps every small-sf win on the driver and pushes
+# width-proportional merges to the cluster.
+DRIVER_MERGE_BUDGET = 400_000
 DRIVER_MERGE_BYTES = 256 * 1024 * 1024
 
 
