@@ -35,6 +35,10 @@ import pyarrow as pa
 
 from ..core.canonical import (SurfaceEmbedder, UnionFind, node_id,
                               surface_key)
+# module top, NOT inside the UDF: a function-body relative import defeats
+# cloudpickle's by-value shipping and fails only when the driver imported
+# raykg from a foreign cwd (the hostile-cwd scenario in the verify skill)
+from .graph import _dict_codes
 
 DEFAULT_SALTS = 16
 _MAX_ALIASES = 16
@@ -48,13 +52,9 @@ def partial_canonical(batch: pa.Table, salts: int = DEFAULT_SALTS) -> pa.Table:
     Arrow/pandas; Python touches only the DISTINCT surfaces/labels (Zipf ⇒
     few per block — row-level ``to_pylist`` was a top Python cost of the
     canonicalize phase at ×96 scale)."""
-    from .graph import _dict_codes
-
     t_codes, t_vals = _dict_codes(batch.column("text"))
     l_codes, l_vals = _dict_codes(batch.column("label"))
     norm_of = [surface_key(s)[0] for s in t_vals]       # distinct-level
-    import numpy as np
-
     valid = np.array([n != "" for n in norm_of], dtype=bool)
     mask = valid[t_codes] if len(t_codes) else np.zeros(0, dtype=bool)
     df = pd.DataFrame({"t": t_codes[mask], "l": l_codes[mask]})
