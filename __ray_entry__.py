@@ -273,8 +273,8 @@ best AS (
                               ORDER BY sim DESC, pos ASC) AS rn
     FROM sims) WHERE rn = 1)
 SELECT m.doc_id, m.url, m.text, m.label, m.score, m.start, m."end",
-       CASE WHEN b.sim >= 0 THEN b.node_id ELSE -1 END AS entity_id
-FROM m JOIN best b USING (text)
+       coalesce(CASE WHEN b.sim >= 0 THEN b.node_id END, -1) AS entity_id
+FROM m LEFT JOIN best b USING (text)
 ORDER BY m.doc_id, m.start
 """
 

@@ -146,8 +146,13 @@ class OnnxBackend:
         (B, H) count-predictor call, and ONE padded span_rep call per
         BATCH, not per document. ``count_embed`` stays per-doc: its
         label_embeddings input is traced without a batch dimension and the
-        label count varies per schema. Element-wise identical to the
-        single-doc path (pytest-pinned)."""
+        label count varies per schema. The padding/slicing DATAFLOW is
+        element-wise identical to the single-doc path (pytest-pinned with
+        mocked sessions); a REAL ONNX encoder under padded batching may
+        differ at float-ulp level (or more if an exported op is not
+        mask-aware) — before wiring multi-doc batches into a production
+        scorer, add an ``np.allclose`` integration check against B=1 on
+        the actual model (ADVICE r4)."""
         if not encs:
             return []
         for enc in encs:

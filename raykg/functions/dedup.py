@@ -89,8 +89,12 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 def _fast_hash64_many(strings: list[str]) -> np.ndarray:
     """64-bit hash of each string: Horner polynomial (FNV prime) over
     UTF-32 code points mod 2^64 + fmix64, all vectorized — zero per-string
-    Python. Inputs must be non-empty and NUL-free (word tokens / shingles
-    are). Bit-identical to the DuckDB staging in ``_sql_fast64_cols``.
+    Python. Empty strings hash to ``fmix64(0)`` (the empty-product Horner
+    value); embedded NULs raise ``ValueError`` (NUL is the internal segment
+    separator — a silent mis-segmentation would hash WRONG, ADVICE r4).
+    Bit-identical to the DuckDB staging in ``_sql_fast64_cols`` for
+    non-empty inputs (the SQL staging never sees empties: shingles/word
+    tokens are non-empty by construction).
 
     Internally chunked (~400k code points ≈ 3 MB working set) so the
     intermediates stay allocator-reused instead of mmap-churned — with 32
@@ -110,6 +114,8 @@ def _fast_hash64_many(strings: list[str]) -> np.ndarray:
     codes = np.frombuffer(joined.encode("utf-32-le"),
                           dtype=np.uint32).astype(np.uint64)
     seps = np.flatnonzero(codes == 0)
+    if len(seps) != len(strings) - 1:
+        raise ValueError("_fast_hash64_many: embedded NUL in input string")
     starts = np.concatenate([[0], seps + 1]).astype(np.int64)
     ends = np.concatenate([seps, [len(codes)]]).astype(np.int64)
     g = np.arange(len(codes), dtype=np.int64)
@@ -121,7 +127,15 @@ def _fast_hash64_many(strings: list[str]) -> np.ndarray:
             pw[k] = pw[k - 1] * _FAST_P
         t = codes * pw[np.clip(expo, 0, None)]   # expo=-1 only at NULs...
         t[codes == 0] = 0                        # ...which contribute 0
-        return _mix64(np.add.reduceat(t, starts))
+        # reduceat can't represent empty segments (it returns the boundary
+        # element, or walks off the end for a trailing empty): skip them —
+        # separator positions contribute t=0, so a widened nonempty segment
+        # sums identically — and leave their Horner sum at 0
+        sums = np.zeros(len(starts), dtype=np.uint64)
+        ne = starts < ends
+        if ne.any():
+            sums[ne] = np.add.reduceat(t, starts[ne])
+        return _mix64(sums)
 
 
 _SQL_M64 = "18446744073709551616::UHUGEINT"
@@ -304,6 +318,12 @@ def _pair_join_distributed(candidates, items_ds, id_col: str, payload_of,
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         pm = df[df["role"] == -1]
         mm = df[df["role"] >= 0]
+        if pm["iid"].duplicated().any():
+            # all payload rows of an iid co-locate in this bucket, so this
+            # check is complete; a silent last-wins dict here would diverge
+            # from the broadcast path's behavior on dup ids (ADVICE r4)
+            raise ValueError(
+                "duplicate item ids in pair join — id column must be unique")
         pmap = dict(zip(pm["iid"], pm["payload"]))
         mm = mm[mm["iid"].isin(pmap)]    # Bloom fps / missing items drop
         return pd.DataFrame({
@@ -330,9 +350,18 @@ def _score_pair_groups(sides_rows, pair_score, score_col: str,
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         aa, bb, ss = [], [], []
         for (x, y), g in df.groupby(["a", "b"], sort=True):
+            if len(g) > 2:
+                # >2 rows for one pair ⇒ an item id appeared on several
+                # item rows — fail loudly rather than silently dropping
+                # the pair (ADVICE r4: the two join paths diverged here)
+                raise ValueError("duplicate item ids in pair join — "
+                                 "id column must be unique")
             if len(g) != 2:
                 continue
             g = g.sort_values("role")
+            if int(g["role"].iloc[0]) == int(g["role"].iloc[1]):
+                raise ValueError("duplicate item ids in pair join — "
+                                 "id column must be unique")
             p0, p1 = g["payload"].iloc[0], g["payload"].iloc[1]
             if pickled:
                 p0, p1 = pickle.loads(p0), pickle.loads(p1)
@@ -365,7 +394,11 @@ def _verified_pair_join(candidates, items_ds, id_col: str, payload_of,
     where the two sides meet (None = rejected). Above the budget the whole
     thing runs as a distributed membership join with a Bloom-filter items
     prefilter (``_pair_join_distributed``) — nothing pair-shaped ever
-    touches the driver."""
+    touches the driver.
+
+    CONTRACT: ``items_ds[id_col]`` must be unique — both paths raise
+    ``ValueError`` on a duplicate id (silently picking one payload would
+    be order-dependent and the two paths would diverge; ADVICE r4)."""
     import ray
 
     from ..stages.shuffle import bucketed_group_apply

@@ -29,6 +29,19 @@ IVF_PLANES = 6            # 64 cells
 IVF_PROBES = 8            # probe the 8 nearest cells
 
 
+def _embedding_matrix(col, dim: int) -> np.ndarray:
+    """Arrow ``list<float>`` column → (n, dim) float64 matrix via
+    ``pc.list_flatten`` + reshape — no pandas object boxing, no per-row
+    ``np.stack`` (ADVICE r4: the to_pandas round-trip was the last
+    object-dtype hop in the similarity path)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(len(col), dim)
+
+
 def _batch_topk(ids: np.ndarray, cos: np.ndarray, k: int) -> pd.DataFrame:
     """Partial top-k of one batch under the GLOBAL total order (cos desc,
     id asc) — top-k under a total order is a semilattice, so per-batch
@@ -75,7 +88,7 @@ def q_knn(sf_dir: str):
     def score(b: pa.Table) -> pd.DataFrame:
         qv = ray.get(q_ref)
         ids = b.column("vec_id").to_numpy()
-        m = np.stack(b.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        m = _embedding_matrix(b.column("embedding"), len(qv))
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         cos = (m @ qv) / norms
@@ -107,7 +120,7 @@ class _IvfIndexer:
         self.planes = rng.standard_normal((dim, IVF_PLANES))
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        m = np.stack(b.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        m = _embedding_matrix(b.column("embedding"), self.planes.shape[0])
         codes = (((m @ self.planes) > 0)
                  * (1 << np.arange(IVF_PLANES))).sum(axis=1).astype(np.int64)
         return pa.table({"vec_id": b.column("vec_id"),
@@ -140,8 +153,7 @@ def q_knn_ivf(sf_dir: str):
         if len(ids) == 0:
             return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                                  "cos": pd.Series([], dtype="float64")})
-        emb = b.column("embedding").to_pandas().to_numpy()[mask]
-        m = np.stack(emb).astype(np.float64)
+        m = _embedding_matrix(b.column("embedding"), len(qv))[mask]
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         cos = (m @ qv) / norms

@@ -61,8 +61,9 @@ def _settle_fsspec_http_import() -> None:
 _settle_fsspec_http_import()
 
 from ..config import DEFAULT_CONFIG, KG_LABELS, PipelineConfig
-from ..stages.canonicalize import (alias_components, alias_pairs,
-                                   apply_alias_merge, canonicalize)
+from ..stages.canonicalize import (alias_components, alias_components_auto,
+                                   alias_pairs, apply_alias_merge,
+                                   canonicalize)
 from ..stages.extract import extract_docs, filter_lang
 from ..stages.graph import materialize_edges, materialize_nodes
 from ..stages.link import build_catalog, link_mentions
@@ -190,7 +191,9 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
                     labels: list[str] | None = None,
                     config: PipelineConfig | None = None,
                     resume: bool = True, shard_size: int = 4,
-                    link: bool = True, alias_merge: bool = True) -> dict:
+                    link: bool = True, alias_merge: bool = True,
+                    alias_driver_budget: int = 2_000_000,
+                    alias_map_budget: int = 20_000_000) -> dict:
     """Production-shaped run over a directory (or file) of pages parquet.
 
     Phase 1 (per shard, checkpointed): read → dedup-within-shard → extract →
@@ -351,6 +354,10 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
     phase2_fp = shard_fingerprint(extract_files) \
         + f"|alias={alias_merge}|sem={sem}"
     alias_path = os.path.join(out_dir, "alias_map.json")
+    # beyond-driver-memory alias maps persist as PARQUET beside the JSON;
+    # the JSON then holds a sentinel pointing at it (resume reloads the
+    # Dataset, never folding the map through driver memory)
+    alias_pq_dir = os.path.join(out_dir, "alias_map_pq")
 
     # Phase 2: the node path (canonicalize → alias CC → nodes) and the edge
     # AGGREGATION are independent dataset executions — run them concurrently
@@ -370,16 +377,27 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
     def node_path():
         if nodes_done:
             with open(alias_path) as f:
-                return {int(k): int(v) for k, v in _json.load(f).items()}
+                loaded = _json.load(f)
+            if isinstance(loaded, dict) and loaded.get("__dataset__"):
+                return rd.read_parquet(alias_pq_dir)
+            return {int(k): int(v) for k, v in loaded.items()}
         with metrics.stage("canonicalize") as info:
             nodes_raw = canonicalize(mentions).materialize()
             n_nodes = nodes_raw.count()
             info["rows"] = n_nodes
         if alias_merge:
             with metrics.stage("alias_merge") as info:
-                amap = alias_components(alias_pairs(nodes_raw))
+                # size-adaptive (VERDICT r4 #2): dict while the merged map
+                # fits the driver budget, (node, root) Dataset beyond it —
+                # apply_alias_merge / finalize_edges then run their
+                # bucketized-join paths and the map never touches the driver
+                amap = alias_components_auto(
+                    alias_pairs(nodes_raw),
+                    driver_budget=alias_driver_budget,
+                    map_budget=alias_map_budget)
                 nodes = apply_alias_merge(nodes_raw, amap)
-                info["merged"] = len(amap)
+                info["merged"] = (len(amap) if isinstance(amap, dict)
+                                  else amap.count())
         else:
             amap = {}
             nodes = nodes_raw
@@ -388,8 +406,13 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
                 materialize_nodes(nodes, approx_rows=n_nodes),
                 os.path.join(out_dir, "nodes"))
         tmp = alias_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(amap, f)
+        if isinstance(amap, dict):
+            with open(tmp, "w") as f:
+                _json.dump(amap, f)
+        else:
+            atomic_write_parquet(amap, alias_pq_dir)
+            with open(tmp, "w") as f:
+                _json.dump({"__dataset__": "alias_map_pq"}, f)
         os.replace(tmp, alias_path)
         manifest.record("phase2:nodes", phase2_fp,
                         {"rows": metrics.stages["nodes"]["rows"]})

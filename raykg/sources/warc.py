@@ -293,7 +293,13 @@ def _find_member_start(f, offset: int, end: int | None) -> int | None:
             probe = b""
         if probe.startswith(b"WARC/"):
             return ab
-        scanned = i + 1
+        # trim past the refuted candidate: without this, data dense in
+        # false \x1f\x8b\x08 triples grows the window to O(range length)
+        # — the docstring's ~2-chunk bound must hold on the failure path
+        # too, not just when a chunk has no candidate at all (ADVICE r4)
+        del window[:i + 1]
+        win_start = ab + 1
+        scanned = 0
 
 
 def _iter_gzip_members(f, start: int):

@@ -457,13 +457,19 @@ def apply_alias_merge(nodes_ds, alias_map):
         return nodes_ds
     import pyarrow.compute as pc
 
+    from .graph import rewrite_ids, sorted_id_map
+
     affected = pa.array(sorted(set(alias_map) | set(alias_map.values())),
                         pa.int64())
+    am_keys, am_roots = sorted_id_map(alias_map)
 
-    def rewrite(b: pa.Table, m=alias_map) -> pa.Table:
-        ids = b.column("node_id").to_pylist()
+    def rewrite(b: pa.Table) -> pa.Table:
+        col = b.column("node_id")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = rewrite_ids(col.to_numpy(), am_keys, am_roots)
         return b.set_column(b.schema.get_field_index("node_id"), "node_id",
-                            pa.array([m.get(i, i) for i in ids], pa.int64()))
+                            pa.array(out, pa.int64()))
 
     def split(b: pa.Table, keep_affected: bool) -> pa.Table:
         # vectorized membership — the majority-untouched corpus never runs
@@ -479,6 +485,12 @@ def apply_alias_merge(nodes_ds, alias_map):
         nodes_ds.map_batches(lambda b: split(b, True), batch_format="pyarrow")
                 .map_batches(rewrite, batch_format="pyarrow"),
         ["node_id"], _remerge_nodes, num_buckets=8)
+    # normalize the (small) merged side to ARROW blocks: the grouped apply
+    # emits pandas blocks, and a union mixing block types crashes any
+    # downstream repartition/sort in the shuffle reduce (Ray 2.49's
+    # delegating builder asserts one type per output) — latent until a
+    # corpus actually produced alias merges
+    merged = merged.map_batches(lambda t: t, batch_format="pyarrow")
     return untouched.union(merged)
 
 
@@ -511,13 +523,16 @@ def _apply_alias_merge_join(nodes_ds, alias_ds, num_buckets: int = 32):
         return b.append_column("___root", pa.array([0] * n, pa.int64()))                 .append_column("___kind", pa.array([0] * n, pa.int32()))
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        m = dict(zip(df.loc[df["___kind"] == 1, "node_id"],
-                     df.loc[df["___kind"] == 1, "___root"]))
+        from .graph import rewrite_ids, sorted_id_map
+
+        lab = df["___kind"] == 1
+        keys, rts = sorted_id_map((df.loc[lab, "node_id"].to_numpy(),
+                                   df.loc[lab, "___root"].to_numpy()))
         roots = set(df.loc[df["___kind"] == 2, "node_id"])
         out = df[df["___kind"] == 0].copy(deep=False)
         ids = out["node_id"]
-        aff = ids.isin(m.keys()) | ids.isin(roots)
-        out["node_id"] = ids.map(lambda i: m.get(i, i)).astype("int64")
+        aff = ids.isin(set(keys.tolist())) | ids.isin(roots)
+        out["node_id"] = rewrite_ids(ids.to_numpy(), keys, rts)
         # arrow list columns surface as numpy arrays per element after the
         # pandas round-trip; normalize to plain lists so the block converts
         # back to Arrow cleanly downstream

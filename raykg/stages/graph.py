@@ -29,6 +29,39 @@ from ..core.canonical import surface_key
 _MAX_URLS = 8
 
 
+def rewrite_ids(values, keys: "np.ndarray", roots: "np.ndarray") -> "np.ndarray":
+    """Vectorized int64-exact map-with-default: ``out[i] = roots[j] if
+    keys[j] == values[i] else values[i]`` via searchsorted over the sorted
+    key array. Never round-trips through float64 — ``Series.map(dict)``
+    + ``fillna`` coerces missing rows to float64 and corrupts 63-bit
+    content-hash ids (the ADVICE r3 failure mode); this path stays int64
+    end-to-end. ``keys`` must be sorted ascending (see ``sorted_id_map``)."""
+    import numpy as np
+
+    x = np.asarray(values, dtype=np.int64)
+    if len(keys) == 0 or len(x) == 0:
+        return x
+    pos = np.searchsorted(keys, x)
+    pos[pos == len(keys)] = 0           # out-of-range probes can't match
+    hit = keys[pos] == x
+    return np.where(hit, roots[pos], x)
+
+
+def sorted_id_map(mapping) -> tuple["np.ndarray", "np.ndarray"]:
+    """dict / parallel iterables → (sorted int64 keys, matching roots) for
+    ``rewrite_ids``."""
+    import numpy as np
+
+    if isinstance(mapping, dict):
+        keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+        roots = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+    else:
+        keys, roots = (np.asarray(mapping[0], dtype=np.int64),
+                       np.asarray(mapping[1], dtype=np.int64))
+    order = np.argsort(keys, kind="stable")
+    return keys[order], roots[order]
+
+
 def _dict_codes(col) -> tuple["np.ndarray", list]:
     """Dictionary-encode an Arrow string column → (int codes per row,
     distinct values). Per-row work stays in Arrow C++; Python only ever
@@ -176,10 +209,11 @@ def _rewrite_edge_col_join(edges_ds, alias_ds, col: str,
         return df
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        m = dict(zip(df.loc[df["___kind"] == 1, col],
-                     df.loc[df["___kind"] == 1, "___root"]))
+        lab = df["___kind"] == 1
+        keys, roots = sorted_id_map((df.loc[lab, col].to_numpy(),
+                                     df.loc[lab, "___root"].to_numpy()))
         out = df[df["___kind"] == 0].copy(deep=False)
-        out[col] = out[col].map(lambda x: m.get(x, x)).astype("int64")
+        out[col] = rewrite_ids(out[col].to_numpy(), keys, roots)
         return out.drop(columns=["___root", "___kind"])
 
     tagged = edges_ds.map_batches(edge_rows, batch_format="pandas") \
@@ -210,12 +244,12 @@ def finalize_edges(edges_ds, alias_map=None,
         return adaptive_sort(remerged, ["src", "pred", "dst"],
                              approx_rows=approx_rows)
     if alias_map:
-        am = alias_map
+        keys, roots = sorted_id_map(alias_map)
 
         def rewrite(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy(deep=False)
-            df["src"] = df["src"].map(lambda x: am.get(int(x), int(x)))
-            df["dst"] = df["dst"].map(lambda x: am.get(int(x), int(x)))
+            df["src"] = rewrite_ids(df["src"].to_numpy(), keys, roots)
+            df["dst"] = rewrite_ids(df["dst"].to_numpy(), keys, roots)
             return df
 
         from .shuffle import bucketed_group_apply

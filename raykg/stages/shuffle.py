@@ -156,7 +156,20 @@ def adaptive_sort(ds, keys: list[str], approx_rows: int | None = None):
     n = approx_rows if approx_rows is not None else ds.count()
     if n <= SMALL_SORT_ROWS:
         def sort_block(df: pd.DataFrame) -> pd.DataFrame:
-            return df.sort_values(keys, kind="stable")
+            import numpy as np
+
+            df = df.sort_values(keys, kind="stable")
+            # Arrow list columns surface as numpy arrays per element after
+            # the pandas round-trip; a downstream Write can't convert those
+            # back ("Unsupported numpy type") — normalize to plain lists.
+            # Small path only (≤ SMALL_SORT_ROWS), so the per-element pass
+            # is bounded; the large path sorts Arrow-native and never
+            # round-trips.
+            for c in df.columns:
+                if df[c].dtype == object and len(df) and \
+                        isinstance(df[c].iloc[0], np.ndarray):
+                    df[c] = [list(v) for v in df[c]]
+            return df
 
         return ds.repartition(1).map_batches(sort_block, batch_format="pandas",
                                              batch_size=None)
