@@ -58,7 +58,15 @@ class SurrogateBackend:
         self.seed = config.seed
         self.tokenizer = WordTokenizer(config.seed,
                                        vocab_dir=config.vocab_dir)
-        self._tok_emb: dict[int, np.ndarray] = {}
+        import threading
+
+        # (sorted id keys, aligned vectors) swapped as ONE tuple: callers
+        # may share a backend across threads (the CLI bench's harness-parity
+        # pool does) — readers snapshot the tuple, the writer swaps it under
+        # a lock, so a gather never mixes two table generations
+        self._emb_tab: tuple[np.ndarray, np.ndarray] = (
+            np.empty(0, dtype=np.int64), np.empty((0, self.h - N_FEAT)))
+        self._emb_lock = threading.Lock()
         self._label_emb: dict[str, np.ndarray] = {}
         self._feat_cache: dict[str, tuple[float, float]] = {}
         self._prefix_cache: dict[tuple, np.ndarray] = {}
@@ -71,16 +79,42 @@ class SurrogateBackend:
 
     # -- A1: encoder ------------------------------------------------------
     def _embed_ids(self, ids: np.ndarray) -> np.ndarray:
-        out = np.empty((len(ids), self.core), dtype=np.float64)
-        cache = self._tok_emb
-        for i, t in enumerate(ids):
-            t = int(t)
-            v = cache.get(t)
-            if v is None:
-                v = _seeded_vec(t.to_bytes(4, "big"), self.seed, self.core)
-                cache[t] = v
-            out[i] = v
-        return out
+        """Token ids → raw embeddings via a sorted-key gather table: the
+        per-call work is one ``searchsorted`` + one row gather — the
+        former per-token Python dict loop was the hot path of the whole
+        extract stage. New ids (vocabulary saturates quickly) are seeded
+        lazily; values are identical to the old per-id cache by
+        construction (same ``_seeded_vec`` per id, gathered not recomputed)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        keys, rows = self._emb_tab                 # one-generation snapshot
+        if len(keys):
+            pos = np.searchsorted(keys, ids)
+            np.minimum(pos, len(keys) - 1, out=pos)
+            miss = keys[pos] != ids
+        else:
+            pos = np.zeros(len(ids), dtype=np.int64)
+            miss = np.ones(len(ids), dtype=bool)
+        if miss.any():
+            with self._emb_lock:
+                keys, rows = self._emb_tab         # re-check under the lock
+                if len(keys):
+                    p2 = np.searchsorted(keys, ids)
+                    np.minimum(p2, len(keys) - 1, out=p2)
+                    still = ids[keys[p2] != ids]
+                else:
+                    still = ids
+                new = np.unique(still)
+                if len(new):
+                    vecs = np.stack([_seeded_vec(int(t).to_bytes(4, "big"),
+                                                 self.seed, self.core)
+                                     for t in new])
+                    keys = np.concatenate([keys, new])
+                    rows = np.concatenate([rows, vecs]) if len(rows) else vecs
+                    order = np.argsort(keys, kind="stable")
+                    keys, rows = keys[order], rows[order]
+                    self._emb_tab = (keys, rows)   # atomic tuple swap
+            pos = np.searchsorted(keys, ids)
+        return rows[pos]
 
     def encode(self, ids: np.ndarray) -> np.ndarray:
         """Token ids → contextualized hidden states (seq, core).
@@ -137,6 +171,92 @@ class SurrogateBackend:
                                                     enc.text_start])[0]
         word_embs = h[enc.word_first_subword - enc.text_start]
         return word_embs, cached
+
+    # -- fused batched forward across documents ---------------------------
+    def forward_batch(self, encs: list[SchemaEncoding]) \
+            -> list[tuple[np.ndarray, np.ndarray]]:
+        """``forward`` over MANY documents in one fused pass (VERDICT r4
+        #3): all text ids concatenate into ONE embed gather and ONE
+        context-mix, with the ±1 window corrected at segment boundaries by
+        masked index adds — each output element sees the SAME operand
+        values in the SAME order as the single-doc path, so results are
+        bit-identical (pytest-pinned). Prompt embeddings ride the existing
+        schema-prefix cache (shared label set ⇒ one entry)."""
+        prompts: list[np.ndarray] = []
+        segs: list[tuple[int, int]] = []       # (enc index, text offset)
+        parts: list[np.ndarray] = []
+        sep_ids: list[int] = []
+        total = 0
+        for i, enc in enumerate(encs):
+            key = (tuple(enc.entity_labels), tuple(enc.prompt_kinds))
+            cached = self._prefix_cache.get(key)
+            if cached is None:
+                prefix_hidden = self.encode(enc.input_ids[:enc.text_start])
+                prompt = np.empty((len(enc.prompt_ranges), self.core))
+                for j, (a, b) in enumerate(enc.prompt_ranges):
+                    prompt[j] = prefix_hidden[a:b].mean(axis=0) if b > a else 0.0
+                cached = prompt
+                self._prefix_cache[key] = cached
+            prompts.append(cached)
+            if enc.words:
+                text_ids = np.asarray(enc.input_ids[enc.text_start:])
+                segs.append((i, total))
+                parts.append(text_ids)
+                sep_ids.append(int(enc.input_ids[enc.text_start - 1]))
+                total += len(text_ids)
+        out: list = [None] * len(encs)
+        for i, enc in enumerate(encs):
+            if not enc.words:
+                out[i] = (np.empty((0, self.core)), prompts[i])
+        if not segs:
+            return out
+        # doc-aligned internal chunking: a whole batch's fused (T, core)
+        # intermediates can reach hundreds of MB and go page-fault-bound
+        # under many parallel workers (the round-4 sketch lesson) — cap the
+        # working set at ~8k tokens per fused pass (a few MB). Per-element
+        # operations are unchanged, so results stay bit-identical.
+        _CAP = 8192
+        group: list[int] = []           # indices into segs/parts
+        gtok = 0
+        runs: list[list[int]] = []
+        for j in range(len(segs)):
+            if group and gtok + len(parts[j]) > _CAP:
+                runs.append(group)
+                group, gtok = [], 0
+            group.append(j)
+            gtok += len(parts[j])
+        if group:
+            runs.append(group)
+        for run in runs:
+            concat = np.concatenate([parts[j] for j in run])
+            total = len(concat)
+            e = self._embed_ids(concat)
+            lens = np.array([len(parts[j]) for j in run], dtype=np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            ends = np.cumsum(lens)
+            h = 0.6 * e
+            # left neighbor for every non-start position (same add the
+            # single path's h[1:] += 0.2*e[:-1], skipped across boundaries)
+            nonstart = np.ones(total, dtype=bool)
+            nonstart[starts] = False
+            idx = np.flatnonzero(nonstart)
+            h[idx] += 0.2 * e[idx - 1]
+            # right neighbor for every non-end position
+            nonend = np.ones(total, dtype=bool)
+            nonend[ends - 1] = False
+            idx = np.flatnonzero(nonend)
+            h[idx] += 0.2 * e[idx + 1]
+            # left boundary: first text subword's left neighbor is
+            # [SEP_TEXT] (added LAST, matching the single path's order)
+            h[starts] += 0.2 * self._embed_ids(
+                np.asarray([sep_ids[j] for j in run]))
+            for local, j in enumerate(run):
+                i, _ = segs[j]
+                enc = encs[i]
+                word_embs = h[int(starts[local])
+                              + (enc.word_first_subword - enc.text_start)]
+                out[i] = (word_embs, prompts[i])
+        return out
 
     # -- label embeddings (A9 cache analogue) -----------------------------
     def label_embedding(self, label: str) -> np.ndarray:
@@ -297,6 +417,20 @@ class SurrogateBackend:
         capitalized fraction. (Both the engine and the oracle run this exact
         code, so the equivalence is also enforced by the parity gates.)"""
         word_embs, prompt_embs = self.forward(enc)
+        return self._span_scores_post(enc, word_embs, prompt_embs, threshold)
+
+    def span_scores_batch(self, encs: list[SchemaEncoding],
+                          threshold: float | None = None) -> list:
+        """``span_scores`` over many documents: ONE fused forward
+        (``forward_batch``) then the per-doc span scoring tail —
+        bit-identical results to per-doc ``span_scores`` (pytest-pinned)."""
+        fwd = self.forward_batch(encs)
+        return [self._span_scores_post(enc, w, p, threshold)
+                for enc, (w, p) in zip(encs, fwd)]
+
+    def _span_scores_post(self, enc: SchemaEncoding, word_embs: np.ndarray,
+                          prompt_embs: np.ndarray,
+                          threshold: float | None) -> tuple[np.ndarray, SchemaEncoding]:
         n_labels = len(enc.entity_labels)
         predicted_count = self._predict_count_cached(prompt_embs,
                                                      len(enc.words))

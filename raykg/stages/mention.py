@@ -46,30 +46,65 @@ class MentionExtractor:
 
     # per-document path (shared with the oracle via raykg.core)
     def _mentions(self, text: str) -> list[Mention]:
+        return self._mentions_batch([text])[0]
+
+    def _mentions_batch(self, texts: list[str]) -> list[list[Mention]]:
+        """Whole-batch mention extraction: every chunk of every document
+        encodes first, then ONE ``span_scores_batch`` call runs the fused
+        forward across all of them (VERDICT r4 #3 — the surrogate path the
+        bench exercises now batches like the ONNX backend), then the
+        per-chunk decode/merge tail runs unchanged. Bit-identical to the
+        per-document path (pytest-pinned)."""
         cfg = self.config
-        if not text or not self.labels:
-            return []
-        if should_chunk(text, cfg.max_words):
-            chunks = chunk_text(text, cfg.max_chars, cfg.overlap_chars, cfg.max_words)
-            out: list[Mention] = []
-            for ch in chunks:
-                enc = encode_schema(ch.text, self.labels, self.backend.tokenizer,
-                                    cfg.max_span_width)
-                logits, enc = self.backend.span_scores(enc, cfg.threshold)
-                ms = decode_spans_with_text(logits, enc, cfg.threshold, ch.text)
-                out.extend(adjust_offsets(ms, ch.start_offset))
-            return merge_chunks(out)
-        enc = encode_schema(text, self.labels, self.backend.tokenizer,
-                            cfg.max_span_width)
-        logits, enc = self.backend.span_scores(enc, cfg.threshold)
-        return decode_spans_with_text(logits, enc, cfg.threshold, text)
+        plans: list[list[tuple]] = []      # per doc: [(chunk_offset, enc)]
+        flat_encs = []
+        flat_texts = []
+        for text in texts:
+            plan: list[tuple] = []
+            if text and self.labels:
+                if should_chunk(text, cfg.max_words):
+                    for ch in chunk_text(text, cfg.max_chars,
+                                         cfg.overlap_chars, cfg.max_words):
+                        enc = encode_schema(ch.text, self.labels,
+                                            self.backend.tokenizer,
+                                            cfg.max_span_width)
+                        plan.append((ch.start_offset, len(flat_encs)))
+                        flat_encs.append(enc)
+                        flat_texts.append(ch.text)
+                else:
+                    enc = encode_schema(text, self.labels,
+                                        self.backend.tokenizer,
+                                        cfg.max_span_width)
+                    plan.append((None, len(flat_encs)))
+                    flat_encs.append(enc)
+                    flat_texts.append(text)
+            plans.append(plan)
+        scored = self.backend.span_scores_batch(flat_encs, cfg.threshold) \
+            if flat_encs else []
+        out: list[list[Mention]] = []
+        for plan in plans:
+            if not plan:
+                out.append([])
+            elif plan[0][0] is None:
+                logits, enc = scored[plan[0][1]]
+                out.append(decode_spans_with_text(
+                    logits, enc, cfg.threshold, flat_texts[plan[0][1]]))
+            else:
+                ms_all: list[Mention] = []
+                for off, j in plan:
+                    logits, enc = scored[j]
+                    ms = decode_spans_with_text(logits, enc, cfg.threshold,
+                                                flat_texts[j])
+                    ms_all.extend(adjust_offsets(ms, off))
+                out.append(merge_chunks(ms_all))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         mention_rows: list[list[dict]] = []
         triple_rows: list[list[dict]] = []
-        for text in texts:
-            mentions = self._mentions(text)
+        all_mentions = self._mentions_batch(texts)
+        for text, mentions in zip(texts, all_mentions):
             triples = extract_triples(text, mentions, self.relations,
                                       self._compiled, self._prefilter)
             mention_rows.append([
