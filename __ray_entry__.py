@@ -408,18 +408,194 @@ def _legacy_mentions(sf_dir: str):
     return adaptive_sort(scored, ["doc_id", "start", "end"])
 
 
-def _schema_extract(sf_dir: str):
-    """Distributed multi-task GLiNER2.extract over the page corpus."""
-    from raykg.config import Schema
+# -- schema_extract: engine-dump oracle (VERDICT r4 #4) ----------------------
+#
+# The model-scored pieces (mention scores, classification logits, structure
+# field candidates) are ENGINE outputs dumped per doc; the SQL re-derives
+# everything downstream of them relationally: per-label entity thresholds,
+# dtype projection + '|' joins, softmax (single-label) / sigmoid
+# (multi-label) + cls_threshold + (score desc, label asc) ordering, and the
+# regex validator + first-valid pick for the structure field. Classification
+# SCORES are not in the compared projection (SQL exp() can differ from numpy
+# at f64 ulp); they only drive ordering/thresholding, where a flip would
+# need two labels within one ulp.
+
+_SE_TOPIC = ["business", "travel", "research"]
+_SE_SENTI = ["positive", "negative", "neutral"]
+_SE_WHO_RX = r"[a-z]+ [a-z]+"          # full-match, case-insensitive (M10)
+_SE_PERSON_THR = 0.45                  # above cfg.threshold → real SQL work
+
+
+def _se_schema():
+    from raykg.config import Schema, Validator
+
+    return (Schema()
+            .entities(["person"], dtype="list", threshold=_SE_PERSON_THR)
+            .entities(["organization"], dtype="list")
+            .classification("topic", _SE_TOPIC)
+            .classification("sentiment", _SE_SENTI, multi_label=True,
+                            cls_threshold=0.6)
+            .structure("card")
+            .field("who", description="person",
+                   validators=[Validator(_SE_WHO_RX, full=True)])
+            .done())
+
+
+_se_dump_for: list[str] = []
+
+
+def _se_docs(sf_dir: str):
+    """Doc set for schema_extract: extracted docs, deduped to the NEWEST
+    revision per doc_id — dup-url page rows share a doc_id but carry
+    different texts (the dup revision re-synthesizes its body), so without
+    this the engine emits two different rows under one key and no
+    relational oracle can follow."""
     from raykg.stages.extract import extract_docs
+    from raykg.stages.shuffle import first_per_key
+
+    docs = pages_dataset(sf_dir).map_batches(extract_docs,
+                                             batch_format="pyarrow")
+    return first_per_key(docs, ["doc_id"], "warc_ts", ascending=False,
+                         tiebreak_cols=["url"])
+
+
+def _dump_schema_tail(sf_dir: str) -> None:
+    if _se_dump_for and _se_dump_for[0] == sf_dir:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raykg.oracle import Oracle
+
+    os.makedirs(_ORACLE_DUMP, exist_ok=True)
+    # doc-scale collect: oracle-dump scaffolding only (sf0.001/0.01), same
+    # caveat as _dump_kg_tail — never a pipeline pattern
+    docs = _se_docs(sf_dir).select_columns(["doc_id", "url", "text"]) \
+        .to_pandas()
+    o = Oracle()
+    m_rows = {"doc_id": [], "ord": [], "label": [], "text": [], "score": []}
+    c_rows = {"doc_id": [], "task": [], "label": [], "logit": []}
+    s_rows = {"doc_id": [], "ord": [], "text": []}
+    seen: set[int] = set()
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        did = int(did)
+        if did in seen:        # dup-url rows share doc_id AND text; dumps
+            continue           # are per-distinct-doc, joins re-expand them
+        seen.add(did)
+        for i, m in enumerate(o.extract_mentions(
+                text, ["person", "organization"], None)):
+            m_rows["doc_id"].append(did)
+            m_rows["ord"].append(i)
+            m_rows["label"].append(m.label)
+            m_rows["text"].append(m.text)
+            m_rows["score"].append(float(m.score))
+        for task, labels in (("topic", _SE_TOPIC), ("sentiment", _SE_SENTI)):
+            logits = o.backend.classify_logits(text, labels)
+            for lab, lg in zip(labels, logits):
+                c_rows["doc_id"].append(did)
+                c_rows["task"].append(task)
+                c_rows["label"].append(lab)
+                c_rows["logit"].append(float(lg))
+        for i, m in enumerate(o.extract_mentions(text, ["person"], None)):
+            s_rows["doc_id"].append(did)
+            s_rows["ord"].append(i)
+            s_rows["text"].append(m.text)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([int(d) for d in docs["doc_id"]], pa.int64()),
+        "url": pa.array(list(docs["url"]), pa.string())}),
+        f"{_ORACLE_DUMP}/se_docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(m_rows["doc_id"], pa.int64()),
+        "ord": pa.array(m_rows["ord"], pa.int64()),
+        "label": pa.array(m_rows["label"], pa.string()),
+        "text": pa.array(m_rows["text"], pa.string()),
+        "score": pa.array(m_rows["score"], pa.float64())}),
+        f"{_ORACLE_DUMP}/se_mentions.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(c_rows["doc_id"], pa.int64()),
+        "task": pa.array(c_rows["task"], pa.string()),
+        "label": pa.array(c_rows["label"], pa.string()),
+        "logit": pa.array(c_rows["logit"], pa.float64())}),
+        f"{_ORACLE_DUMP}/se_class.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(s_rows["doc_id"], pa.int64()),
+        "ord": pa.array(s_rows["ord"], pa.int64()),
+        "text": pa.array(s_rows["text"], pa.string())}),
+        f"{_ORACLE_DUMP}/se_struct.parquet")
+    _se_dump_for[:] = [sf_dir]
+
+
+SQL_SCHEMA_EXTRACT = f"""
+WITH d AS (SELECT doc_id, url
+           FROM read_parquet('{_ORACLE_DUMP}/se_docs.parquet')),
+m AS (SELECT * FROM read_parquet('{_ORACLE_DUMP}/se_mentions.parquet')),
+ment AS (
+  SELECT doc_id, label, string_agg(text, '|' ORDER BY ord) AS v
+  FROM m
+  WHERE score >= CASE WHEN label = 'person'
+                      THEN {_SE_PERSON_THR} ELSE 0.3 END
+  GROUP BY doc_id, label),
+c AS (SELECT * FROM read_parquet('{_ORACLE_DUMP}/se_class.parquet')),
+s1 AS (SELECT *, max(logit) OVER (PARTITION BY doc_id, task) AS mx FROM c),
+s2 AS (SELECT *, exp(logit - mx) AS ez FROM s1),
+s3 AS (SELECT *, ez / sum(ez) OVER (PARTITION BY doc_id, task) AS sm,
+              1.0 / (1.0 + exp(-logit)) AS sg
+       FROM s2),
+topic AS (SELECT doc_id, string_agg(label, '|' ORDER BY sm DESC, label) AS v
+          FROM s3 WHERE task = 'topic' AND sm >= 0.5 GROUP BY doc_id),
+senti AS (SELECT doc_id, string_agg(label, '|' ORDER BY sg DESC, label) AS v
+          FROM s3 WHERE task = 'sentiment' AND sg >= 0.6 GROUP BY doc_id),
+st AS (SELECT * FROM read_parquet('{_ORACLE_DUMP}/se_struct.parquet')),
+whof AS (SELECT doc_id, arg_min(text, ord) AS v
+         FROM st
+         WHERE regexp_full_match(text, '(?i){_SE_WHO_RX}')
+         GROUP BY doc_id)
+SELECT d.doc_id, d.url,
+       coalesce(mp.v, '') AS person,
+       coalesce(mo.v, '') AS organization,
+       coalesce(t.v, '') AS topic,
+       coalesce(sn.v, '') AS sentiment,
+       coalesce(w.v, '') AS who
+FROM d
+LEFT JOIN ment mp ON mp.doc_id = d.doc_id AND mp.label = 'person'
+LEFT JOIN ment mo ON mo.doc_id = d.doc_id AND mo.label = 'organization'
+LEFT JOIN topic t ON t.doc_id = d.doc_id
+LEFT JOIN senti sn ON sn.doc_id = d.doc_id
+LEFT JOIN whof w ON w.doc_id = d.doc_id
+ORDER BY d.doc_id, d.url
+"""
+
+
+def _schema_extract(sf_dir: str):
+    """Distributed multi-task GLiNER2.extract over the page corpus,
+    projected to flat compare columns (JSON float reprs are not
+    SQL-reproducible; the label/text CONTENT is what the oracle checks)."""
+    import json as _json
+
+    import pandas as pd
+
     from raykg.stages.extract_task import schema_extract
 
-    schema = (Schema().entities(["person", "organization"], dtype="list")
-                      .classification("topic", ["business", "travel", "research"])
-                      .structure("card").field("who", description="person")
-                      .done())
-    docs = pages_dataset(sf_dir).map_batches(extract_docs, batch_format="pyarrow")
-    return schema_extract(docs, schema, concurrency=4).sort("doc_id")
+    _dump_schema_tail(sf_dir)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        person, org, topic, senti, who = [], [], [], [], []
+        for e, c, s in zip(df["entities"], df["classifications"],
+                           df["structures"]):
+            ents, cls, sts = _json.loads(e), _json.loads(c), _json.loads(s)
+            person.append("|".join(ents.get("person", [])))
+            org.append("|".join(ents.get("organization", [])))
+            topic.append("|".join(x["label"] for x in cls.get("topic", [])))
+            senti.append("|".join(x["label"]
+                                  for x in cls.get("sentiment", [])))
+            who.append(sts.get("card", {}).get("who", ""))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "url": df["url"], "person": person,
+            "organization": org, "topic": topic, "sentiment": senti,
+            "who": who})
+
+    out = schema_extract(_se_docs(sf_dir), _se_schema(), concurrency=4)
+    return out.map_batches(proj, batch_format="pandas").sort(["doc_id", "url"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -488,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
         # against the single-actor LSH path); a brute-force SQL argmax is
         # only the oracle for the exact path below
         "kg_links": SQL_KG_LINKS,
+        "schema_extract": SQL_SCHEMA_EXTRACT,
         "lineitem_agg": relational.SQL_LINEITEM_AGG,
         "mktsegment_orders": relational.SQL_MKTSEGMENT_ORDERS,
         "orders_monthly": relational.SQL_ORDERS_MONTHLY,

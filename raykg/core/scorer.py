@@ -481,21 +481,30 @@ class SurrogateBackend:
         return np.clip(core, -self._NOISE_CLIP, self._NOISE_CLIP) + feat
 
     # -- A3 + M13: classification ----------------------------------------
+    def classify_logits(self, text: str, labels: list[str]) -> np.ndarray:
+        """Raw classification logits for one (text, labels) task — the
+        engine output the schema_extract oracle dumps; sigmoid/softmax +
+        threshold + ordering are re-derived relationally in SQL. Empty
+        text → empty logits (→ classify returns [])."""
+        enc = encode_schema(text, labels, self.tokenizer,
+                            self.config.max_span_width, kinds=["C"] * len(labels))
+        word_embs, prompt_embs = self.forward(enc)
+        if len(enc.words) == 0:
+            return np.empty(0)
+        text_repr = word_embs.mean(axis=0)
+        text_repr /= max(1e-9, np.linalg.norm(text_repr))
+        sims = prompt_embs @ text_repr / np.sqrt(self.core)
+        return sims * 4.0
+
     def classify(self, text: str, labels: list[str], multi_label: bool,
                  threshold: float) -> list[tuple[str, float]]:
         """Text-level classification. Labels ride the schema prompt with the
         [C] marker (GLiNERModel.swift:207-245); logits over prompt embeddings
         vs the mean word embedding; sigmoid each (multi-label) or stable
         softmax; keep ≥ threshold; sort score desc (GLiNERModel.swift:247-302)."""
-        enc = encode_schema(text, labels, self.tokenizer,
-                            self.config.max_span_width, kinds=["C"] * len(labels))
-        word_embs, prompt_embs = self.forward(enc)
-        if len(enc.words) == 0:
+        logits = self.classify_logits(text, labels)
+        if len(logits) == 0:
             return []
-        text_repr = word_embs.mean(axis=0)
-        text_repr /= max(1e-9, np.linalg.norm(text_repr))
-        sims = prompt_embs @ text_repr / np.sqrt(self.core)
-        logits = sims * 4.0
         if multi_label:
             scores = 1.0 / (1.0 + np.exp(-logits))
         else:
