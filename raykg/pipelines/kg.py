@@ -193,7 +193,9 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
                     resume: bool = True, shard_size: int = 4,
                     link: bool = True, alias_merge: bool = True,
                     alias_driver_budget: int = 2_000_000,
-                    alias_map_budget: int = 20_000_000) -> dict:
+                    alias_map_budget: int = 20_000_000,
+                    link_mode: str = "broadcast",
+                    catalog_shards: int = 4) -> dict:
     """Production-shaped run over a directory (or file) of pages parquet.
 
     Phase 1 (per shard, checkpointed): read → dedup-within-shard → extract →
@@ -448,12 +450,26 @@ def run_kg_pipeline(pages_path: str, out_dir: str,
                 import ray
 
                 nodes_out = rd.read_parquet(os.path.join(out_dir, "nodes"))
-                catalog_ref = ray.put(build_catalog(nodes_out))
+                if link_mode == "sharded":
+                    # the 10^9-entity path: sub-catalogs built INSIDE tasks
+                    # and spilled beside the output — the driver never
+                    # materializes the catalog (VERDICT r4 #1); linking is
+                    # probe-routed per (shard, mention-bucket)
+                    from ..stages.link import (build_sharded_catalog_distributed,
+                                               link_mentions_sharded)
+
+                    refs = build_sharded_catalog_distributed(
+                        nodes_out, os.path.join(out_dir, "catalog_shards"),
+                        n_shards=catalog_shards)
+                    links = link_mentions_sharded(mentions, refs)
+                else:
+                    catalog_ref = ray.put(build_catalog(nodes_out))
+                    links = link_mentions(
+                        mentions, catalog_ref,
+                        concurrency=_pool_size(cfg.linker_concurrency),
+                        batch_size=cfg.linker_batch_size)
                 info["rows"] = atomic_write_parquet(
-                    link_mentions(mentions, catalog_ref,
-                                  concurrency=_pool_size(cfg.linker_concurrency),
-                                  batch_size=cfg.linker_batch_size),
-                    os.path.join(out_dir, "links"))
+                    links, os.path.join(out_dir, "links"))
             manifest.record("phase2:links", phase2_fp,
                             {"rows": metrics.stages["links"]["rows"]})
     metrics.write(os.path.join(out_dir, "metrics.json"))

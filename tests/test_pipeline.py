@@ -921,3 +921,42 @@ def test_run_kg_pipeline_dataset_alias_map(ray_session, tmp_path):
     assert s["stages"]["graph_phase"]["nodes_skipped"] is True
     after = read_sorted(os.path.join(out_ds, "edges"), drop=("urls",))
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_run_kg_pipeline_sharded_link(ray_session, tmp_path):
+    """link_mode='sharded': the production entry point links through the
+    DISTRIBUTIVELY-built catalog (shards spilled beside the output, driver
+    holds handles only) — same row coverage as the broadcast path and full
+    referential integrity, with the shard spill present on disk."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from raykg.pipelines.kg import run_kg_pipeline
+
+    pages_dir = str(tmp_path / "pages")
+    pages_dataset(SF).write_parquet(pages_dir)
+
+    out_b = str(tmp_path / "kg_b")
+    out_s = str(tmp_path / "kg_s")
+    run_kg_pipeline(pages_dir, out_b, shard_size=2, link=True)
+    run_kg_pipeline(pages_dir, out_s, shard_size=2, link=True,
+                    link_mode="sharded")
+
+    def read(d, sub):
+        return pq.read_table(
+            sorted(glob.glob(os.path.join(d, sub, "*.parquet")))).to_pandas()
+
+    lb = read(out_b, "links")
+    ls = read(out_s, "links")
+    assert len(lb) == len(ls) > 0                  # nothing dropped
+    nodes = set(read(out_s, "nodes")["node_id"])
+    assert set(ls["entity_id"]) <= nodes | {-1}    # referential integrity
+    assert glob.glob(os.path.join(out_s, "catalog_shards", "*.npz"))
+    # exact-surface links agree between the algorithms: rows the broadcast
+    # path linked with cosine ~1 must land on the same entity via shards
+    kb = lb.set_index(["doc_id", "start", "end"])
+    ks = ls.set_index(["doc_id", "start", "end"])
+    exact = kb[kb["link_score"] > 0.999]
+    agree = (ks.loc[exact.index, "entity_id"] == exact["entity_id"]).mean()
+    assert agree == 1.0
