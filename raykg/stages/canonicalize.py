@@ -136,13 +136,13 @@ def canonicalize(mentions_ds, salts: int = DEFAULT_SALTS, num_buckets: int = 32)
       3. final bucketized groupby on (norm) over ≤ S rows per key.
     Both groupbys use the bucketized pattern (raykg.stages.shuffle): one
     vectorized pandas call per hash bucket, never one call per key."""
-    from .shuffle import bucketed_group_apply
+    from .shuffle import DRIVER_MERGE_BUDGET, DRIVER_MERGE_BYTES, bucketed_group_apply
 
     # batch_size=None → whole-block combining (small batches barely combine
     # and multiply the shuffle's partial-row count)
     partials = mentions_ds.map_batches(
         lambda b: partial_canonical(b, salts), batch_format="pyarrow",
-        batch_size=None)
+        batch_size=None).materialize()
 
     def merge_salted(df: pd.DataFrame) -> pd.DataFrame:
         return _merge_rows(df.groupby(["norm", "salt"], sort=True), False)
@@ -150,6 +150,18 @@ def canonicalize(mentions_ds, salts: int = DEFAULT_SALTS, num_buckets: int = 32)
     def merge_final(df: pd.DataFrame) -> pd.DataFrame:
         return _merge_rows(df.groupby("norm", sort=True), True)
 
+    # Below the driver budget both merge layers land on the driver anyway —
+    # compose them into ONE grouped apply (bucketing by norm co-locates all
+    # of a norm's salted partials, so merge_salted-then-merge_final inside
+    # one call is the identical dataflow minus one whole dataset execution
+    # round-trip, ~1-2s of fixed constants per run). The salted TWO-PHASE
+    # stays the beyond-budget path: splitting a hot norm's partials S ways
+    # in parallel is the thing the composition gives up.
+    n = partials.count()
+    if 0 < n <= DRIVER_MERGE_BUDGET and partials.size_bytes() <= DRIVER_MERGE_BYTES:
+        return bucketed_group_apply(
+            partials, ["norm"],
+            lambda df: merge_final(merge_salted(df)), num_buckets)
     merged = bucketed_group_apply(partials, ["norm", "salt"], merge_salted,
                                   num_buckets)
     return bucketed_group_apply(merged, ["norm"], merge_final, num_buckets)
@@ -357,16 +369,22 @@ def components_distributed(pairs_ds, max_rounds: int = 64):
 
     def join_roots(df: pd.DataFrame) -> pd.DataFrame:
         """One hash bucket: label rows (is_label=1) build the key→root map;
-        probe rows look it up; label rows ALSO re-emit their own (node,
-        root) so the min-agg sees every node's current label without a
-        separate union pass."""
+        probe rows look it up (vectorized searchsorted — int64-exact, no
+        per-row Python); label rows ALSO re-emit their own (node, root) so
+        the min-agg sees every node's current label without a separate
+        union pass."""
+        from .graph import rewrite_ids, sorted_id_map
+
         lab = df[df["is_label"] == 1]
-        m = dict(zip(lab["key"], lab["root"]))
+        keys, roots = sorted_id_map((lab["key"].to_numpy(),
+                                     lab["root"].to_numpy()))
         probe = df[df["is_label"] == 0]
+        looked = rewrite_ids(probe["key"].to_numpy(), keys, roots)
         return pd.DataFrame({
-            "node": pd.concat([probe["node"], lab["node"]]).astype("int64"),
-            "cand": pd.concat([probe["key"].map(lambda k: m.get(k, k)),
-                               lab["root"]]).astype("int64")})
+            "node": np.concatenate([probe["node"].to_numpy(),
+                                    lab["node"].to_numpy()]).astype("int64"),
+            "cand": np.concatenate([looked,
+                                    lab["root"].to_numpy()]).astype("int64")})
 
     def fingerprint(ds) -> int:
         """Order-independent label-set fingerprint: per-batch XOR of

@@ -960,3 +960,25 @@ def test_run_kg_pipeline_sharded_link(ray_session, tmp_path):
     exact = kb[kb["link_score"] > 0.999]
     agree = (ks.loc[exact.index, "entity_id"] == exact["entity_id"]).mean()
     assert agree == 1.0
+
+
+def test_canonicalize_composed_equals_two_phase(ray_session, extracts, monkeypatch):
+    """Round 5: below the driver budget canonicalize composes both merge
+    layers into one grouped apply; the salted two-phase stays the scale
+    path. Both must be byte-identical (the merge is associative +
+    commutative with deterministic finalize)."""
+    import raykg.stages.shuffle as sh
+    from raykg.stages.canonicalize import canonicalize
+    from raykg.stages.mention import explode_mentions
+
+    mentions = extracts.map_batches(explode_mentions, batch_format="pyarrow")
+    composed = canonicalize(mentions).to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    # force the two-phase path by zeroing the budget canonicalize consults
+    monkeypatch.setattr(sh, "DRIVER_MERGE_BUDGET", 0)
+    two_phase = canonicalize(mentions).to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    composed["aliases"] = [list(a) for a in composed["aliases"]]
+    two_phase["aliases"] = [list(a) for a in two_phase["aliases"]]
+    pd.testing.assert_frame_equal(composed, two_phase)
+    assert len(composed) > 50

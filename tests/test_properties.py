@@ -230,3 +230,44 @@ def test_partial_edges_matches_reference_impl(rows):
     assert got["weight"].tolist() == [ref[k][0] for k in order]
     assert got["url_sample"].tolist() == [ref[k][1] for k in order]
     assert str(got["src"].dtype) == "int64" and str(got["dst"].dtype) == "int64"
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=60),
+       st.dictionaries(st.integers(min_value=-(2**62), max_value=2**62),
+                       st.integers(min_value=-(2**62), max_value=2**62),
+                       max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_rewrite_ids_matches_dict_map(values, mapping):
+    """rewrite_ids == {m.get(v, v)} exactly, int64 end-to-end — including
+    63-bit ids that a float64 round-trip would corrupt (the ADVICE r3
+    failure mode the searchsorted path exists to avoid)."""
+    import numpy as np
+
+    from raykg.stages.graph import rewrite_ids, sorted_id_map
+
+    keys, roots = sorted_id_map(mapping)
+    got = rewrite_ids(np.asarray(values, dtype=np.int64), keys, roots)
+    assert got.dtype == np.int64
+    assert got.tolist() == [mapping.get(v, v) for v in values]
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_characters="\x00",
+                           blacklist_categories=("Cs",)), max_size=12),
+    max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_fast_hash_batch_equals_singleton(strings):
+    """_fast_hash64_many is a per-string pure function: hashing a batch
+    (with its internal chunking and empty-segment handling) equals hashing
+    each string alone; empty string → fmix64(0)."""
+    import numpy as np
+
+    from raykg.functions.dedup import _fast_hash64_many, _mix64
+
+    batch = _fast_hash64_many(strings)
+    singles = np.array([_fast_hash64_many([s])[0] for s in strings],
+                       dtype=np.uint64) if strings else batch
+    assert np.array_equal(batch, singles)
+    for s, h in zip(strings, batch):
+        if s == "":
+            assert h == _mix64(np.array([0], dtype=np.uint64))[0]
