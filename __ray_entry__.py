@@ -157,6 +157,17 @@ def _dump_kg_tail(sf_dir: str) -> None:
         "node": pa.array(sorted(am), pa.int64()),
         "root": pa.array([am[k] for k in sorted(am)], pa.int64())}),
         f"{_ORACLE_DUMP}/aliasmap.parquet")
+    # pre-NMS span candidates: the model boundary of the mention path. The
+    # SQL oracle re-derives D2 greedy NMS + M9 offset adjust + D4 chunk
+    # merge from these rows (SQL_KG_MENTIONS, recursive CTEs) — same
+    # engine-dump contract as the link embeddings above. Candidate
+    # generation is the decoder's own span_candidates() by construction.
+    from raykg.stages.mention import CandidateExtractor
+
+    cands = extract_stage(pages_dataset(sf_dir),
+                          extractor_cls=CandidateExtractor).to_pandas()
+    pq.write_table(pa.Table.from_pandas(cands, preserve_index=False),
+                   f"{_ORACLE_DUMP}/mention_cands.parquet")
     _dump_for[:] = [sf_dir]
 
 
@@ -168,6 +179,71 @@ SELECT label, count(*)::BIGINT AS n_distinct,
        array_to_string(list_slice(list(text ORDER BY text), 1, 50), '|')
          AS surfaces
 FROM d GROUP BY label ORDER BY label
+"""
+
+
+# kg_mentions re-derivation over the dumped PRE-NMS candidates
+# (mention_cands.parquet — the model boundary; candidate generation is the
+# decoder's own span_candidates()). Greedy NMS is inherently sequential, so
+# both passes run as recursive CTEs over priority-sorted candidate LISTS:
+# each step keeps the head and filters everything conflicting with it out of
+# the tail — the same fixpoint as "keep iff it conflicts with no kept span".
+# - Pass 1 (D2, per doc×chunk): priority (score DESC, ws, width, label_idx)
+#   = decode.py's np.lexsort total order; conflict = inclusive word-interval
+#   intersection (the decoder's occupancy bitmask covers ws..ws+width).
+# - Pass 2 (D4, per doc, CHUNKED docs only — single-chunk documents skip
+#   merge_chunks in the engine): priority (score DESC, start, end, label,
+#   text); conflict = same label AND (equal lowercased text OR exclusive
+#   char-range overlap). Binary string order == Python code-point order
+#   (UTF-8 is order-preserving).
+# Scores stay float64 end-to-end (the dump is the decoder's own sigmoid
+# output) and cast to FLOAT only in the final projection — the same f64→f32
+# IEEE cast the Arrow MENTIONS schema applies on the engine side.
+SQL_KG_MENTIONS = f"""
+WITH RECURSIVE
+c AS (SELECT * FROM read_parquet('{_ORACLE_DUMP}/mention_cands.parquet')),
+g1 AS (SELECT doc_id, chunk_idx, any_value(chunked) AS chunked,
+              any_value(url) AS url,
+              list(struct_pack(ws := ws, we := ws + width, sc := score,
+                               cs := "start", ce := "end", lab := label,
+                               txt := text)
+                   ORDER BY score DESC, ws, width, label_idx) AS rem
+       FROM c GROUP BY doc_id, chunk_idx),
+nms AS (
+  SELECT doc_id, chunk_idx, chunked, url,
+         list_slice(rem, 1, 0) AS kept, rem FROM g1
+  UNION ALL
+  SELECT doc_id, chunk_idx, chunked, url,
+         list_append(kept, rem[1]) AS kept,
+         list_filter(list_slice(rem, 2, len(rem)),
+                     x -> x.ws > rem[1].we OR x.we < rem[1].ws) AS rem
+  FROM nms WHERE len(rem) > 0),
+p1 AS (SELECT doc_id, chunked, url, unnest(kept) AS m
+       FROM nms WHERE len(rem) = 0),
+single AS (SELECT doc_id, url, m.txt AS txt, m.lab AS lab, m.sc AS sc,
+                  m.cs AS cs, m.ce AS ce
+           FROM p1 WHERE NOT chunked),
+g2 AS (SELECT doc_id, any_value(url) AS url,
+              list(struct_pack(sc := m.sc, cs := m.cs, ce := m.ce,
+                               lab := m.lab, txt := m.txt)
+                   ORDER BY m.sc DESC, m.cs, m.ce, m.lab, m.txt) AS rem
+       FROM p1 WHERE chunked GROUP BY doc_id),
+mrg AS (
+  SELECT doc_id, url, list_slice(rem, 1, 0) AS kept, rem FROM g2
+  UNION ALL
+  SELECT doc_id, url, list_append(kept, rem[1]) AS kept,
+         list_filter(list_slice(rem, 2, len(rem)),
+                     x -> NOT (x.lab = rem[1].lab AND
+                               (lower(x.txt) = lower(rem[1].txt) OR
+                                (x.cs < rem[1].ce AND x.ce > rem[1].cs)))) AS rem
+  FROM mrg WHERE len(rem) > 0),
+merged AS (SELECT doc_id, url, m.txt AS txt, m.lab AS lab, m.sc AS sc,
+                  m.cs AS cs, m.ce AS ce
+           FROM (SELECT doc_id, url, unnest(kept) AS m
+                 FROM mrg WHERE len(rem) = 0)),
+u AS (SELECT * FROM single UNION ALL SELECT * FROM merged)
+SELECT doc_id, url, txt AS text, lab AS label, sc::FLOAT AS score,
+       cs AS "start", ce AS "end" FROM u
 """
 
 
@@ -303,6 +379,14 @@ FROM r GROUP BY src, pred, dst ORDER BY src, pred, dst
 
 def _kg_mentions(sf_dir: str):
     return _extracts(sf_dir).map_batches(explode_mentions, batch_format="pyarrow", batch_size=None)
+
+
+def _kg_mentions_q(sf_dir: str):
+    """queries() entry: triggers the engine dump (SQL_KG_MENTIONS reads the
+    pre-NMS candidates from it) before returning the mention rows.
+    ``_kg_mentions`` stays dump-free — ``_dump_kg_tail`` itself calls it."""
+    _dump_kg_tail(sf_dir)
+    return _kg_mentions(sf_dir)
 
 
 def _kg_triples(sf_dir: str):
@@ -601,7 +685,7 @@ def _schema_extract(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # knowledge-graph construction (flagship)
-        "kg_mentions": _kg_mentions,
+        "kg_mentions": _kg_mentions_q,
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
@@ -656,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # KG tail — group/agg/join over the engine's own dumped
         # intermediates (see _dump_kg_tail)
+        "kg_mentions": SQL_KG_MENTIONS,
         "kg_label_report": SQL_KG_LABEL_REPORT,
         "kg_nodes": SQL_KG_NODES,
         "kg_edges": SQL_KG_EDGES,
@@ -697,7 +782,9 @@ def oracle_sql() -> dict[str, str]:
         "len_quantiles": textstats.SQL_LEN_QUANTILES,
         "media_meta": multimodal.SQL_MEDIA_META,
         "frame_sample": multimodal.SQL_FRAME_SAMPLE,
-        # omitted on purpose (non-SQL-expressible): kg_* + legacy_mentions
-        # (model-scored extraction), knn_ivf (approximate) — covered by
-        # pytest parity/recall gates.
+        # omitted on purpose: kg_triples (sentence-split + ordered
+        # first-match regex pattern table — Python `re` semantics are not
+        # reproducible in DuckDB's RE2), legacy_mentions (model-scored,
+        # IoU-NMS), kg_links_sharded + knn_ivf (approximate-by-design) —
+        # each covered by pytest parity/golden/recall gates.
     }

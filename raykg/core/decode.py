@@ -47,17 +47,31 @@ class Mention:
 from .simfuncs import sigmoid  # noqa: E402
 
 
-def decode_spans(logits: np.ndarray, enc: SchemaEncoding, threshold: float) -> list[Mention]:
-    """D2. ``logits`` is (n_spans, n_labels) aligned to ``enc.span_starts``."""
+def span_candidates(logits: np.ndarray, enc: SchemaEncoding,
+                    threshold: float) -> tuple[np.ndarray, np.ndarray,
+                                               np.ndarray, np.ndarray]:
+    """Pre-NMS candidate set: the exact (span, label) rows ``decode_spans``
+    feeds its greedy NMS — sigmoid(logit) ≥ threshold, word-space starts /
+    widths, label index, float64 post-sigmoid score. Shared by the decode
+    path below and the engine-dump oracle (``__ray_entry__``:
+    ``mention_cands.parquet``), so the dumped candidates are the decoder's
+    candidates by construction."""
     if logits.size == 0:
-        return []
+        z = np.empty(0, np.int64)
+        return z, z, z, np.empty(0, np.float64)
     probs = sigmoid(logits)
     span_idx, label_idx = np.nonzero(probs >= threshold)
-    if len(span_idx) == 0:
+    return (enc.span_starts[span_idx].astype(np.int64),
+            enc.span_widths[span_idx].astype(np.int64),
+            label_idx.astype(np.int64),
+            probs[span_idx, label_idx].astype(np.float64))
+
+
+def decode_spans(logits: np.ndarray, enc: SchemaEncoding, threshold: float) -> list[Mention]:
+    """D2. ``logits`` is (n_spans, n_labels) aligned to ``enc.span_starts``."""
+    starts, widths, label_idx, scores = span_candidates(logits, enc, threshold)
+    if len(starts) == 0:
         return []
-    scores = probs[span_idx, label_idx]
-    starts = enc.span_starts[span_idx]
-    widths = enc.span_widths[span_idx]
     order = np.lexsort((label_idx, widths, starts, -scores))
     kept: list[tuple[int, int, int, float]] = []   # (start, end, label, score)
     # occupancy as an int bitmask over word positions: overlap test is one

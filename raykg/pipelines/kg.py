@@ -74,7 +74,8 @@ from ..state.metrics import RunMetrics
 
 def extract_stage(pages_ds, labels: list[str] | None = None,
                   config: PipelineConfig | None = None,
-                  dedup: bool = True, langs: tuple[str, ...] | None = None):
+                  dedup: bool = True, langs: tuple[str, ...] | None = None,
+                  extractor_cls: type | None = None):
     """pages → doc_extracts (nested mentions/triples per doc).
 
     Input dedup (keep newest warc_ts per url) is SHUFFLE-FREE: a cheap
@@ -109,7 +110,7 @@ def extract_stage(pages_ds, labels: list[str] | None = None,
     # half of the execution. Actor startup is parallel and amortized by
     # shard size; _pool_size leaves CPU headroom for producer tasks.
     extracts = docs.map_batches(
-        MentionExtractor,
+        extractor_cls or MentionExtractor,
         fn_constructor_kwargs={"labels": labels or KG_LABELS, "config": cfg},
         batch_format="pyarrow",
         batch_size=cfg.scorer_batch_size,

@@ -22,7 +22,8 @@ import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, KG_LABELS, PipelineConfig
 from ..core.chunk import chunk_text, should_chunk
-from ..core.decode import Mention, adjust_offsets, decode_spans_with_text, merge_chunks
+from ..core.decode import (Mention, adjust_offsets, decode_spans_with_text,
+                           merge_chunks, span_candidates)
 from ..core.legacy import LegacySpanScorer
 from ..core.relations import RelationConfig, extract_triples
 from ..core.scorer import SurrogateBackend
@@ -125,6 +126,85 @@ class MentionExtractor:
         if "warc_ts" in batch.schema.names:   # passthrough for post-extract dedup
             cols["warc_ts"] = batch.column("warc_ts")
         return pa.table(cols)
+
+
+class CandidateExtractor(MentionExtractor):
+    """Oracle-dump support (NOT a pipeline stage): emits every pre-NMS span
+    candidate — the model boundary of the mention path. Same actor state,
+    plan construction and fused ``span_scores_batch`` call as
+    ``MentionExtractor._mentions_batch``; instead of decoding it dumps the
+    candidate rows (word interval, label index, float64 post-sigmoid score,
+    doc-level char range, surface slice) so the SQL oracle can re-derive
+    greedy NMS (D2), offset adjust (M9) and chunk merge (D4) relationally
+    (``__ray_entry__.SQL_KG_MENTIONS``, recursive CTEs). ``chunked`` is
+    emitted per row because single-chunk documents skip D4 in the engine
+    (decode.py:merge_chunks is only applied to chunked docs)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        urls = batch.column("url").to_pylist()
+        plans: list[list[tuple]] = []
+        flat_encs = []
+        for text in texts:
+            plan: list[tuple] = []
+            if text and self.labels:
+                if should_chunk(text, cfg.max_words):
+                    for ci, ch in enumerate(chunk_text(text, cfg.max_chars,
+                                                       cfg.overlap_chars,
+                                                       cfg.max_words)):
+                        plan.append((ci, ch.start_offset, True, len(flat_encs)))
+                        flat_encs.append(encode_schema(ch.text, self.labels,
+                                                       self.backend.tokenizer,
+                                                       cfg.max_span_width))
+                else:
+                    plan.append((0, 0, False, len(flat_encs)))
+                    flat_encs.append(encode_schema(text, self.labels,
+                                                   self.backend.tokenizer,
+                                                   cfg.max_span_width))
+            plans.append(plan)
+        scored = self.backend.span_scores_batch(flat_encs, cfg.threshold) \
+            if flat_encs else []
+        out = {k: [] for k in ("doc_id", "url", "chunk_idx", "chunked", "ws",
+                               "width", "label_idx", "score", "label",
+                               "start", "end", "text")}
+        for did, url, text, plan in zip(doc_ids, urls, texts, plans):
+            for ci, off, chunked, j in plan:
+                logits, enc = scored[j]
+                ws, wd, li, sc = span_candidates(logits, enc, cfg.threshold)
+                n = len(ws)
+                if not n:
+                    continue
+                cs = enc.word_starts[ws] + off
+                ce = enc.word_ends[ws + wd] + off
+                out["doc_id"].extend([did] * n)
+                out["url"].extend([url] * n)
+                out["chunk_idx"].extend([ci] * n)
+                out["chunked"].extend([chunked] * n)
+                out["ws"].extend(ws.tolist())
+                out["width"].extend(wd.tolist())
+                out["label_idx"].extend(li.tolist())
+                out["score"].extend(sc.tolist())
+                out["label"].extend(enc.entity_labels[i] for i in li.tolist())
+                out["start"].extend(cs.tolist())
+                out["end"].extend(ce.tolist())
+                out["text"].extend(text[a:b] for a, b in
+                                   zip(cs.tolist(), ce.tolist()))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "url": pa.array(out["url"], pa.string()),
+            "chunk_idx": pa.array(out["chunk_idx"], pa.int64()),
+            "chunked": pa.array(out["chunked"], pa.bool_()),
+            "ws": pa.array(out["ws"], pa.int64()),
+            "width": pa.array(out["width"], pa.int64()),
+            "label_idx": pa.array(out["label_idx"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+            "label": pa.array(out["label"], pa.string()),
+            "start": pa.array(out["start"], pa.int64()),
+            "end": pa.array(out["end"], pa.int64()),
+            "text": pa.array(out["text"], pa.string()),
+        })
 
 
 class LegacyMentionExtractor:
