@@ -479,17 +479,90 @@ def _kg_label_report(sf_dir: str):
 def _legacy_mentions(sf_dir: str):
     """M5+A8: the GLiNER1 legacy path (prompted encode → BiLSTM/FFN span
     scorer → greedy overlap decode) over the page corpus — actor pool, flat
-    mention rows (no_oracle: model-scored; pytest pins a golden)."""
+    mention rows. SQL-oracled since round 5 via the engine-dump pattern
+    (the queries() wrapper dumps the pre-NMS candidates;
+    SQL_LEGACY_MENTIONS re-derives the greedy overlap decode)."""
     from raykg.stages.extract import extract_docs
     from raykg.stages.mention import LegacyMentionExtractor
     from raykg.stages.shuffle import adaptive_sort
 
+    from raykg.pipelines.kg import _pool_size
+
     docs = pages_dataset(sf_dir).map_batches(extract_docs, batch_format="pyarrow")
+    # _pool_size cap: an actor pool that reserves every CPU starves its own
+    # producer tasks and the streaming executor wedges (kg.py:_pool_size —
+    # bit this query under the 4-CPU pytest session)
     scored = docs.map_batches(LegacyMentionExtractor, batch_format="pyarrow",
-                              batch_size=64, concurrency=4).materialize()
+                              batch_size=64,
+                              concurrency=_pool_size(4)).materialize()
     # presentation sort only (VERDICT r3 #5): scorer runs once, the sort
     # adapts to the (small) mention-row output
     return adaptive_sort(scored, ["doc_id", "start", "end"])
+
+
+_legacy_dump_for: list[str] = []
+
+
+def _legacy_mentions_q(sf_dir: str):
+    """queries() entry: dumps the legacy decoder's pre-NMS candidates (the
+    model boundary) for SQL_LEGACY_MENTIONS, then returns the mention rows.
+    Same engine-dump contract (and the same to_pandas test-scaffolding
+    caveat) as _dump_kg_tail."""
+    if not (_legacy_dump_for and _legacy_dump_for[0] == sf_dir):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raykg.stages.extract import extract_docs
+        from raykg.stages.mention import LegacyCandidateExtractor
+
+        import numpy as np
+        import ray
+
+        os.makedirs(_ORACLE_DUMP, exist_ok=True)
+        docs = pages_dataset(sf_dir).map_batches(extract_docs,
+                                                 batch_format="pyarrow")
+        # unique row id per INPUT ROW: the engine decodes duplicate crawls
+        # of the same doc_id independently, so the SQL NMS must group per
+        # row (driver-side materialize is the same scaffolding caveat as
+        # _dump_kg_tail — never a pipeline pattern)
+        pdf = docs.to_pandas()
+        pdf["row_uid"] = np.arange(len(pdf), dtype=np.int64)
+        from raykg.pipelines.kg import _pool_size
+
+        cands = ray.data.from_pandas(pdf).map_batches(
+            LegacyCandidateExtractor, batch_format="pyarrow",
+            batch_size=64, concurrency=_pool_size(4)).to_pandas()
+        pq.write_table(pa.Table.from_pandas(cands, preserve_index=False),
+                       f"{_ORACLE_DUMP}/legacy_cands.parquet")
+        _legacy_dump_for[:] = [sf_dir]
+    return _legacy_mentions(sf_dir)
+
+
+# legacy_mentions re-derivation: ONE greedy overlap-decode pass per document
+# (legacy.py:extract — priority (score DESC, ws, we, label_idx), keep iff no
+# inclusive word-interval intersection with a kept span; no chunking, no D4)
+# as a recursive CTE over the dumped pre-NMS candidates. Scores are float64
+# on both sides (the legacy MENTIONS schema keeps f64).
+SQL_LEGACY_MENTIONS = f"""
+WITH RECURSIVE
+c AS (SELECT * FROM read_parquet('{_ORACLE_DUMP}/legacy_cands.parquet')),
+g1 AS (SELECT row_uid, any_value(doc_id) AS doc_id, any_value(url) AS url,
+              list(struct_pack(ws := ws, we := we, sc := score,
+                               cs := "start", ce := "end", lab := label,
+                               txt := text)
+                   ORDER BY score DESC, ws, we, label_idx) AS rem
+       FROM c GROUP BY row_uid),
+nms AS (
+  SELECT row_uid, doc_id, url, list_slice(rem, 1, 0) AS kept, rem FROM g1
+  UNION ALL
+  SELECT row_uid, doc_id, url, list_append(kept, rem[1]) AS kept,
+         list_filter(list_slice(rem, 2, len(rem)),
+                     x -> x.ws > rem[1].we OR x.we < rem[1].ws) AS rem
+  FROM nms WHERE len(rem) > 0)
+SELECT doc_id, url, m.txt AS text, m.lab AS label, m.sc AS score,
+       m.cs AS "start", m.ce AS "end"
+FROM (SELECT doc_id, url, unnest(kept) AS m FROM nms WHERE len(rem) = 0)
+"""
 
 
 # -- schema_extract: engine-dump oracle (VERDICT r4 #4) ----------------------
@@ -693,7 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_links_sharded": _kg_links_sharded,
         "kg_label_report": _kg_label_report,
         "schema_extract": _schema_extract,
-        "legacy_mentions": _legacy_mentions,
+        "legacy_mentions": _legacy_mentions_q,
         # relational operator layer (TPC-H-ish)
         "lineitem_agg": relational.q_lineitem_agg,
         "mktsegment_orders": relational.q_mktsegment_orders,
@@ -749,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         # against the single-actor LSH path); a brute-force SQL argmax is
         # only the oracle for the exact path below
         "kg_links": SQL_KG_LINKS,
+        "legacy_mentions": SQL_LEGACY_MENTIONS,
         "schema_extract": SQL_SCHEMA_EXTRACT,
         "lineitem_agg": relational.SQL_LINEITEM_AGG,
         "mktsegment_orders": relational.SQL_MKTSEGMENT_ORDERS,
@@ -784,7 +858,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": multimodal.SQL_FRAME_SAMPLE,
         # omitted on purpose: kg_triples (sentence-split + ordered
         # first-match regex pattern table — Python `re` semantics are not
-        # reproducible in DuckDB's RE2), legacy_mentions (model-scored,
-        # IoU-NMS), kg_links_sharded + knn_ivf (approximate-by-design) —
-        # each covered by pytest parity/golden/recall gates.
+        # reproducible in DuckDB's RE2), kg_links_sharded + knn_ivf
+        # (approximate-by-design) — each covered by pytest
+        # parity/golden/recall gates.
     }

@@ -307,20 +307,33 @@ class LegacySpanScorer:
             logits[start, :max_w, :] = base + np.where(all_cap, 6.0, 0.0)[:, None]
         return logits
 
-    # -- SpanDecoder.swift:11-90 greedy decode -----------------------------
-    def extract(self, text: str, labels: list[str],
-                threshold: float | None = None) -> list[Mention]:
+    def candidates(self, text: str, labels: list[str],
+                   threshold: float | None = None):
+        """Pre-NMS candidate set of the greedy decode below — the legacy
+        twin of ``decode.span_candidates`` (engine-dump oracle support,
+        ``__ray_entry__.SQL_LEGACY_MENTIONS``): (float64 post-sigmoid
+        score, word start, inclusive word end, label index) tuples plus the
+        encoding for char-offset projection. ``extract`` consumes exactly
+        this set, so the dumped candidates are the decoder's candidates by
+        construction."""
         thr = threshold if threshold is not None else self.config.threshold
         if not text or not labels:
-            return []
+            return [], None
         enc = encode_prompted(text, labels, self.tokenizer)
         logits = self.span_logits(enc)
         probs = 1.0 / (1.0 + np.exp(-logits))
         ss, ww, ll = np.nonzero(probs >= thr)
-        if len(ss) == 0:
+        return list(zip(probs[ss, ww, ll].tolist(), ss.tolist(),
+                        (ss + ww).tolist(), ll.tolist())), enc
+
+    # -- SpanDecoder.swift:11-90 greedy decode -----------------------------
+    def extract(self, text: str, labels: list[str],
+                threshold: float | None = None) -> list[Mention]:
+        raw, enc = self.candidates(text, labels, threshold)
+        if not raw:
             return []
         cands = sorted(
-            zip(probs[ss, ww, ll], ss, ss + ww, ll),
+            raw,
             key=lambda t: (-t[0], t[1], t[2], t[3]))   # score desc, then a
         #   deterministic positional tiebreak (the reference's sort is
         #   unstable on ties; a total order keeps the engine reproducible)

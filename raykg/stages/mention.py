@@ -246,6 +246,55 @@ class LegacyMentionExtractor:
         })
 
 
+class LegacyCandidateExtractor(LegacyMentionExtractor):
+    """Oracle-dump support (NOT a pipeline stage): emits the legacy
+    decoder's pre-NMS candidates — word interval, label index, float64
+    post-sigmoid score, char range, surface slice. The SQL oracle
+    (``__ray_entry__.SQL_LEGACY_MENTIONS``) re-derives the greedy overlap
+    decode (SpanDecoder.swift:11-90 semantics) as a recursive CTE."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("row_uid", "doc_id", "url", "ws", "we",
+                               "label_idx", "score", "label", "start",
+                               "end", "text")}
+        # row_uid (assigned by the dump harness) disambiguates duplicate
+        # crawls of the same doc_id: the engine decodes each input ROW
+        # independently, so the SQL NMS must group per row, not per doc_id
+        for uid, did, url, text in zip(batch.column("row_uid").to_pylist(),
+                                       batch.column("doc_id").to_pylist(),
+                                       batch.column("url").to_pylist(),
+                                       batch.column("text").to_pylist()):
+            cands, enc = self.scorer.candidates(text, self.labels,
+                                                self.config.threshold)
+            for sc, s0, e0, li in cands:
+                a = int(enc.word_starts[s0])
+                b = int(enc.word_ends[e0])
+                out["row_uid"].append(uid)
+                out["doc_id"].append(did)
+                out["url"].append(url)
+                out["ws"].append(s0)
+                out["we"].append(e0)
+                out["label_idx"].append(li)
+                out["score"].append(sc)
+                out["label"].append(self.labels[li])
+                out["start"].append(a)
+                out["end"].append(b)
+                out["text"].append(text[a:b])
+        return pa.table({
+            "row_uid": pa.array(out["row_uid"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "url": pa.array(out["url"], pa.string()),
+            "ws": pa.array(out["ws"], pa.int64()),
+            "we": pa.array(out["we"], pa.int64()),
+            "label_idx": pa.array(out["label_idx"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+            "label": pa.array(out["label"], pa.string()),
+            "start": pa.array(out["start"], pa.int64()),
+            "end": pa.array(out["end"], pa.int64()),
+            "text": pa.array(out["text"], pa.string()),
+        })
+
+
 def _explode(batch: pa.Table, list_col: str, fields: list[str],
              schema: pa.Schema) -> pa.Table:
     """Vectorized nested-list explode: pyarrow list_flatten +
