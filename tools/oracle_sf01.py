@@ -8,9 +8,12 @@ actually taken under load is the one that's been value-checked.
 Run:  python tools/oracle_sf01.py [sf_dir] [out_json]
 Writes one JSON artifact (default ORACLE_SF01.json at the repo root) with
 per-query pass/fail + wall seconds. Query set: the cheapest oracled
-queries (no KG tail — the kg_* dumps would re-run the whole flagship;
-their adaptive branches are separately pinned by pytest at forced
-budgets).
+queries (no KG tail and no mention oracles — the engine dumps those rely
+on (kg_*: the whole flagship; kg_mentions/legacy_mentions: a second full
+extraction pass + recursive-CTE NMS over millions of pre-NMS candidates)
+would re-run bench-scale work per query; their adaptive branches are
+separately pinned by pytest at forced budgets, and their oracle compare
+runs at sf0.001 AND sf0.01 in the suite / driver).
 """
 
 from __future__ import annotations
